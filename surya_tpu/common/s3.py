@@ -1,0 +1,89 @@
+"""Checkpoint fetch: manifest-based parallel download with retries.
+
+Mirrors the reference scheme (surya/common/s3.py:68-105): an ``s3://<path>``
+checkpoint name resolves to ``{S3_BASE_URL}/<path>``, whose ``manifest.json``
+lists the files to fetch into the local model cache. Offline environments can
+pre-populate ``settings.MODEL_CACHE_DIR/<path>`` or point the per-model
+``*_MODEL_CHECKPOINT`` setting at a local directory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Optional
+
+from surya_tpu.logging import get_logger
+from surya_tpu.settings import settings
+
+logger = get_logger()
+
+
+def _download_file(url: str, dest: Path, retries: int = 3, backoff: float = 2.0):
+    import requests
+
+    for attempt in range(retries):
+        try:
+            with requests.get(url, stream=True, timeout=60) as r:
+                r.raise_for_status()
+                tmp = dest.with_suffix(dest.suffix + ".tmp")
+                with open(tmp, "wb") as f:
+                    for chunk in r.iter_content(chunk_size=1 << 20):
+                        f.write(chunk)
+                tmp.rename(dest)
+                return
+        except Exception as e:
+            if attempt == retries - 1:
+                raise
+            logger.warning("download %s failed (%s), retrying", url, e)
+            time.sleep(backoff**attempt)
+
+
+def download_directory(s3_path: str, cache_dir: Optional[str] = None) -> str:
+    """Fetch all files listed in a checkpoint manifest; returns the local dir."""
+    rel = s3_path.removeprefix("s3://")
+    local = Path(cache_dir or settings.MODEL_CACHE_DIR) / rel
+    done_marker = local / ".download_complete"
+    if done_marker.exists():
+        return str(local)
+    local.mkdir(parents=True, exist_ok=True)
+
+    base_url = f"{settings.S3_BASE_URL}/{rel}"
+    _download_file(f"{base_url}/manifest.json", local / "manifest.json")
+    with open(local / "manifest.json") as f:
+        manifest = json.load(f)
+
+    files = manifest["files"] if isinstance(manifest, dict) else manifest
+    with ThreadPoolExecutor(max_workers=settings.PARALLEL_DOWNLOAD_WORKERS) as ex:
+        futures = [
+            ex.submit(_download_file, f"{base_url}/{fname}", local / fname)
+            for fname in files
+            if not (local / fname).exists()
+        ]
+        for fut in futures:
+            fut.result()
+    done_marker.touch()
+    return str(local)
+
+
+def resolve_checkpoint(name: str) -> Optional[str]:
+    """Resolve a checkpoint setting to a local directory.
+
+    Accepts a plain local path, or an ``s3://`` name that is either already in
+    the cache or downloadable. Returns None when nothing is reachable (the
+    caller decides whether random init is acceptable)."""
+    if not name.startswith("s3://"):
+        return name if os.path.isdir(name) else None
+
+    rel = name.removeprefix("s3://")
+    local = Path(settings.MODEL_CACHE_DIR) / rel
+    if local.is_dir() and any(local.glob("*.safetensors")):
+        return str(local)
+    try:
+        return download_directory(name)
+    except Exception as e:
+        logger.warning("checkpoint %s unreachable: %s", name, e)
+        return None

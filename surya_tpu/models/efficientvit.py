@@ -1,0 +1,347 @@
+"""EfficientViT-large semantic segmentation for text-line detection, in JAX.
+
+TPU-native re-design of the reference detection model
+(surya/detection/model/encoderdecoder.py:580-753; config
+surya/detection/model/config.py:6-54):
+
+  - NHWC layout end-to-end (TPU conv-native); kernels HWIO
+  - inference BatchNorm folded into per-channel scale/bias (XLA fuses into
+    the preceding conv)
+  - LiteMLA linear attention (reference :332-338) expressed as two batched
+    matmuls over (heads, HW, dim) — O(N·d²), lands on the MXU; fp32 island
+    matches the reference's .float() cast
+  - ImageNet normalization and the final bilinear upsample to processor size
+    (reference does both on host / in separate torch ops:
+    surya/detection/__init__.py:120-129) are fused INTO the jitted graph, so
+    one device round-trip carries uint8 pixels in and fp32 heatmaps out
+
+Architecture: stem (stride 2) + 4 stages (each stride 2). Stages 1-2 are
+FusedMBConv stacks, stage 3 is an MBConv stack, stage 4 interleaves LiteMLA
+attention with MBConv. A SegFormer-style MLP decode head fuses the four stage
+outputs at 1/4 resolution into a 2-channel sigmoid heatmap (text + vertical).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from surya_tpu import nn
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@dataclass(frozen=True)
+class EfficientViTConfig:
+    num_classes: int = 2
+    num_channels: int = 3
+    widths: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    head_dim: int = 32
+    depths: Tuple[int, ...] = (1, 1, 1, 6, 6)
+    strides: Tuple[int, ...] = (2, 2, 2, 2, 2)
+    layer_norm_eps: float = 1e-6
+    decoder_layer_hidden_size: int = 128
+    decoder_hidden_size: int = 512
+    image_size: Tuple[int, int] = (896, 896)  # (height, width) processor size
+
+
+# -- layer helpers ----------------------------------------------------------
+# A ConvNormAct leaf is {"conv": {...}} plus optional {"norm": scale/bias}.
+
+def _cna_init(ks, in_ch, out_ch, k, groups=1, bias=False, norm=True, dtype=jnp.float32):
+    p = {"conv": nn.conv2d_init(next(ks), in_ch, out_ch, k, bias=bias, groups=groups, dtype=dtype)}
+    if norm:
+        p["norm"] = nn.bn_fold_init(out_ch, dtype)
+    return p
+
+
+def _cna(p, x, k, stride=1, groups=1, act=None):
+    y = nn.conv2d(p["conv"], x, stride=stride, padding=nn.torch_conv_padding(k, stride), groups=groups)
+    if "norm" in p:
+        y = nn.bn_fold(p["norm"], y)
+    return nn.ACTIVATIONS[act](y)
+
+
+def _conv_block_init(ks, in_ch, out_ch, dtype):
+    # expand_ratio=1 "large" block: two 3x3 convs (reference ConvBlock :130-171)
+    return {
+        "conv1": _cna_init(ks, in_ch, in_ch, 3, dtype=dtype),
+        "conv2": _cna_init(ks, in_ch, out_ch, 3, dtype=dtype),
+    }
+
+
+def _conv_block(p, x):
+    h = _cna(p["conv1"], x, 3, act="hardswish")
+    return _cna(p["conv2"], h, 3, act=None)
+
+
+def _fused_mbconv_init(ks, in_ch, out_ch, expand, stride_k, fewer_norm, dtype):
+    mid = round(in_ch * expand)
+    return {
+        "spatial_conv": _cna_init(ks, in_ch, mid, stride_k, bias=fewer_norm, norm=not fewer_norm, dtype=dtype),
+        "point_conv": _cna_init(ks, mid, out_ch, 1, dtype=dtype),
+    }
+
+
+def _fused_mbconv(p, x, k, stride):
+    h = _cna(p["spatial_conv"], x, k, stride=stride, act="hardswish")
+    return _cna(p["point_conv"], h, 1, act=None)
+
+
+def _mbconv_init(ks, in_ch, out_ch, expand, k, dtype):
+    # fewer_norm variant: bias on first two convs, norm only on point conv
+    mid = round(in_ch * expand)
+    return {
+        "inverted_conv": _cna_init(ks, in_ch, mid, 1, bias=True, norm=False, dtype=dtype),
+        "depth_conv": _cna_init(ks, mid, mid, k, groups=mid, bias=True, norm=False, dtype=dtype),
+        "point_conv": _cna_init(ks, mid, out_ch, 1, dtype=dtype),
+    }
+
+
+def _mbconv(p, x, k, stride, mid):
+    h = _cna(p["inverted_conv"], x, 1, act="hardswish")
+    h = _cna(p["depth_conv"], h, k, stride=stride, groups=mid, act="hardswish")
+    return _cna(p["point_conv"], h, 1, act=None)
+
+
+def _lite_mla_init(ks, ch, head_dim, dtype):
+    heads = ch // head_dim
+    total = heads * head_dim
+    return {
+        "qkv": _cna_init(ks, ch, 3 * total, 1, norm=False, dtype=dtype),
+        "aggreg_dw": nn.conv2d_init(next(ks), 3 * total, 3 * total, 5, bias=False, groups=3 * total, dtype=dtype),
+        "aggreg_pw": nn.conv2d_init(next(ks), 3 * total, 3 * total, 1, bias=False, groups=3 * heads, dtype=dtype),
+        "proj": _cna_init(ks, 2 * total, ch, 1, dtype=dtype),
+    }
+
+
+def _lite_mla(p, x, head_dim: int, eps: float = 1e-5):
+    """Multi-scale linear attention (reference LiteMLA :273-360). The qkv
+    channels are laid out head-major: channel h*3d+j holds (q|k|v) for head h."""
+    B, H, W, _ = x.shape
+    qkv = _cna(p["qkv"], x, 1, act=None)
+    agg = nn.conv2d(p["aggreg_dw"], qkv, padding=nn.torch_conv_padding(5), groups=qkv.shape[-1])
+    agg = nn.conv2d(p["aggreg_pw"], agg, groups=3 * (qkv.shape[-1] // (3 * head_dim)))
+    multi = jnp.concatenate([qkv, agg], axis=-1)  # B,H,W, 2*3*total
+
+    n_heads = multi.shape[-1] // (3 * head_dim)
+    h = multi.reshape(B, H * W, n_heads, 3 * head_dim).transpose(0, 2, 1, 3)
+    q, k, v = jnp.split(h, 3, axis=-1)  # each B, n_heads, HW, d
+
+    # fp32 island (reference casts to float in _attn :332-338)
+    q = jax.nn.relu(q).astype(jnp.float32)
+    k = jax.nn.relu(k).astype(jnp.float32)
+    v = jnp.pad(v.astype(jnp.float32), ((0, 0), (0, 0), (0, 0), (0, 1)), constant_values=1.0)
+
+    kv = jnp.einsum("bhnd,bhne->bhde", k, v)  # d x (d+1)
+    out = jnp.einsum("bhnd,bhde->bhne", q, kv)
+    out = out[..., :-1] / (out[..., -1:] + eps)
+    out = out.astype(x.dtype)
+
+    out = out.transpose(0, 2, 1, 3).reshape(B, H, W, -1)
+    return _cna(p["proj"], out, 1, act=None)
+
+
+def _evit_block_init(ks, ch, head_dim, dtype):
+    return {
+        "attn": _lite_mla_init(ks, ch, head_dim, dtype),
+        "mlp": _mbconv_init(ks, ch, ch, 6, 3, dtype),
+    }
+
+
+def _evit_block(p, x, head_dim):
+    x = x + _lite_mla(p["attn"], x, head_dim)
+    x = x + _mbconv(p["mlp"], x, 3, 1, round(x.shape[-1] * 6))
+    return x
+
+
+# -- full model --------------------------------------------------------------
+
+def init_params(config: EfficientViTConfig, key, dtype=jnp.float32):
+    ks = nn.key_iter(key)
+    w = config.widths
+
+    stem = {"in_conv": _cna_init(ks, config.num_channels, w[0], 3, dtype=dtype)}
+    for d in range(config.depths[0]):
+        stem[f"res{d}"] = _conv_block_init(ks, w[0], w[0], dtype)
+
+    stages = []
+    in_ch = w[0]
+    for i, (width, depth) in enumerate(zip(w[1:], config.depths[1:])):
+        vit_stage = i >= 3
+        fewer_norm = i >= 2
+        blocks = []
+        if fewer_norm:  # stride-2 MBConv downsample (expand 24 for vit stage)
+            blocks.append({"down": _mbconv_init(ks, in_ch, width, 24 if vit_stage else 16, 3, dtype)})
+        else:  # stride-2 FusedMBConv downsample
+            blocks.append({"down": _fused_mbconv_init(ks, in_ch, width, 16, 3, fewer_norm=False, dtype=dtype)})
+        in_ch = width
+        for _ in range(depth):
+            if vit_stage:
+                blocks.append({"vit": _evit_block_init(ks, width, config.head_dim, dtype)})
+            elif fewer_norm:
+                blocks.append({"mb": _mbconv_init(ks, width, width, 4, 3, dtype)})
+            else:
+                blocks.append({"fused": _fused_mbconv_init(ks, width, width, 4, 3, fewer_norm=False, dtype=dtype)})
+        stages.append({"blocks": blocks})
+
+    head = {
+        "linear_c": [
+            nn.linear_init(next(ks), width, config.decoder_layer_hidden_size, dtype=dtype)
+            for width in w[1:]
+        ],
+        "linear_fuse": nn.conv2d_init(
+            next(ks), config.decoder_layer_hidden_size * 4, config.decoder_hidden_size, 1, bias=False, dtype=dtype
+        ),
+        "batch_norm": nn.bn_fold_init(config.decoder_hidden_size, dtype),
+        "classifier": nn.conv2d_init(next(ks), config.decoder_hidden_size, config.num_classes, 1, dtype=dtype),
+    }
+    return {"stem": stem, "stages": stages, "head": head}
+
+
+def _forward_logits(params, config: EfficientViTConfig, pixel_values: jnp.ndarray) -> jnp.ndarray:
+    """pixel_values: [B, H, W, 3] float in [0, 1]. Returns raw decode-head
+    logits at 1/4 resolution [B, H/4, W/4, num_classes]."""
+    mean = jnp.asarray(IMAGENET_MEAN, pixel_values.dtype)
+    std = jnp.asarray(IMAGENET_STD, pixel_values.dtype)
+    x = (pixel_values - mean) / std
+
+    stem = params["stem"]
+    x = _cna(stem["in_conv"], x, 3, stride=config.strides[0], act="hardswish")
+    for d in range(config.depths[0]):
+        x = x + _conv_block(stem[f"res{d}"], x)
+
+    feats: List[jnp.ndarray] = []
+    in_ch = config.widths[0]
+    for i, (width, depth, stride) in enumerate(
+        zip(config.widths[1:], config.depths[1:], config.strides[1:])
+    ):
+        vit_stage = i >= 3
+        fewer_norm = i >= 2
+        blocks = params["stages"][i]["blocks"]
+        if fewer_norm:
+            x = _mbconv(blocks[0]["down"], x, 3, stride, round(in_ch * (24 if vit_stage else 16)))
+        else:
+            x = _fused_mbconv(blocks[0]["down"], x, 3, stride)
+        in_ch = width
+        for b in range(1, depth + 1):
+            if vit_stage:
+                x = _evit_block(blocks[b]["vit"], x, config.head_dim)
+            elif fewer_norm:
+                x = x + _mbconv(blocks[b]["mb"], x, 3, 1, round(width * 4))
+            else:
+                x = x + _fused_mbconv(blocks[b]["fused"], x, 3, 1)
+        feats.append(x)
+
+    # SegFormer-style decode head at 1/4 resolution (reference DecodeHead :673-732)
+    head = params["head"]
+    target_hw = feats[0].shape[1:3]
+    fused_in = []
+    for f, mlp in zip(feats, head["linear_c"]):
+        h = nn.linear(mlp, f)
+        if f.shape[1:3] != target_hw:
+            h = nn.bilinear_resize(h, target_hw)
+        fused_in.append(h)
+    x = jnp.concatenate(fused_in[::-1], axis=-1)
+    x = nn.conv2d(head["linear_fuse"], x)
+    x = jax.nn.relu(nn.bn_fold(head["batch_norm"], x))
+    return nn.conv2d(head["classifier"], x)
+
+
+def apply(params, config: EfficientViTConfig, pixel_values: jnp.ndarray) -> jnp.ndarray:
+    """Full-parity forward: sigmoid at head resolution, THEN bilinear upsample
+    to processor size — same order as the reference (model sigmoid :752,
+    predictor interpolate surya/detection/__init__.py:124-129), fused into one
+    graph. Returns fp32 heatmaps [B, H, W, num_classes]."""
+    logits = _forward_logits(params, config, pixel_values)
+    heat = jax.nn.sigmoid(logits.astype(jnp.float32))
+    return nn.bilinear_resize(heat, config.image_size)
+
+
+def apply_compact(params, config: EfficientViTConfig, pixel_values: jnp.ndarray) -> jnp.ndarray:
+    """Like `apply` but returns the sigmoid heatmap quantized to uint8 at the
+    decode-head's native 1/4 resolution, WITHOUT the device-side upsample.
+
+    The bilinear upsample adds no information, so shipping the small uint8 map
+    and upsampling on host is near-lossless and cuts device→host traffic 256×
+    — the transfer, not the forward pass, dominates detection wall-clock. The
+    predictor upsamples with cv2 (same align_corners=False convention) before
+    CRAFT postprocessing."""
+    logits = _forward_logits(params, config, pixel_values)
+    heat = jax.nn.sigmoid(logits.astype(jnp.float32))
+    return jnp.round(heat * 255.0).astype(jnp.uint8)
+
+
+# -- checkpoint conversion ----------------------------------------------------
+
+def convert_torch(tensors, config: EfficientViTConfig, dtype=jnp.float32):
+    """Map the reference torch checkpoint (EfficientViTForSemanticSegmentation
+    state dict, key layout per surya/detection/model/encoderdecoder.py) onto
+    the init_params pytree. Backbone BN uses eps=layer_norm_eps (reference
+    :586), the decode-head BN uses torch's default 1e-5."""
+    from surya_tpu.common.weights import TensorBag
+
+    bag = tensors if isinstance(tensors, TensorBag) else TensorBag(tensors, dtype)
+    eps = config.layer_norm_eps
+
+    def cna(prefix, norm=True):
+        p = {"conv": bag.conv(f"{prefix}.conv")}
+        if norm:
+            p["norm"] = bag.batchnorm(f"{prefix}.norm", eps=eps)
+        return p
+
+    def fused_mbconv(prefix):
+        return {"spatial_conv": cna(f"{prefix}.spatial_conv"), "point_conv": cna(f"{prefix}.point_conv")}
+
+    def mbconv(prefix):
+        return {
+            "inverted_conv": cna(f"{prefix}.inverted_conv", norm=False),
+            "depth_conv": cna(f"{prefix}.depth_conv", norm=False),
+            "point_conv": cna(f"{prefix}.point_conv"),
+        }
+
+    def lite_mla(prefix):
+        return {
+            "qkv": cna(f"{prefix}.qkv", norm=False),
+            "aggreg_dw": bag.conv(f"{prefix}.aggreg.0.0"),
+            "aggreg_pw": bag.conv(f"{prefix}.aggreg.0.1"),
+            "proj": cna(f"{prefix}.proj"),
+        }
+
+    stem = {"in_conv": cna("vit.stem.in_conv")}
+    for d in range(config.depths[0]):
+        pfx = f"vit.stem.res{d}.main"
+        stem[f"res{d}"] = {"conv1": cna(f"{pfx}.conv1"), "conv2": cna(f"{pfx}.conv2")}
+
+    stages = []
+    for i, depth in enumerate(config.depths[1:]):
+        vit_stage = i >= 3
+        fewer_norm = i >= 2
+        blocks = []
+        down_pfx = f"vit.stages.{i}.blocks.0.main"
+        blocks.append({"down": mbconv(down_pfx) if fewer_norm else fused_mbconv(down_pfx)})
+        for b in range(1, depth + 1):
+            pfx = f"vit.stages.{i}.blocks.{b}"
+            if vit_stage:
+                blocks.append({"vit": {
+                    "attn": lite_mla(f"{pfx}.context_module.main"),
+                    "mlp": mbconv(f"{pfx}.local_module.main"),
+                }})
+            elif fewer_norm:
+                blocks.append({"mb": mbconv(f"{pfx}.main")})
+            else:
+                blocks.append({"fused": fused_mbconv(f"{pfx}.main")})
+        stages.append({"blocks": blocks})
+
+    head = {
+        "linear_c": [bag.linear(f"decode_head.linear_c.{k}.proj") for k in range(4)],
+        "linear_fuse": bag.conv("decode_head.linear_fuse", bias=False),
+        "batch_norm": bag.batchnorm("decode_head.batch_norm", eps=1e-5),
+        "classifier": bag.conv("decode_head.classifier"),
+    }
+    bag.warn_unused("detection")
+    return {"stem": stem, "stages": stages, "head": head}

@@ -1,0 +1,138 @@
+"""Env-first configuration singleton.
+
+Mirrors the reference's pydantic-settings API (surya/settings.py:12-190): every
+field can be overridden with an environment variable of the same name, or via a
+``local.env`` dotenv file in the working directory. Re-implemented on plain
+pydantic (pydantic-settings is not a dependency), with JAX-centric computed
+fields in place of the reference's torch device/dtype logic.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import cached_property
+from pathlib import Path
+from typing import Dict, Optional
+
+from platformdirs import user_cache_dir
+from pydantic import BaseModel, ConfigDict
+
+
+def _load_dotenv(path: str = "local.env") -> Dict[str, str]:
+    out: Dict[str, str] = {}
+    p = Path(path)
+    if not p.exists():
+        return out
+    for line in p.read_text().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        k, v = line.split("=", 1)
+        out[k.strip()] = v.strip().strip("'\"")
+    return out
+
+
+class Settings(BaseModel):
+    model_config = ConfigDict(extra="ignore", ignored_types=(cached_property,))
+
+    # General
+    JAX_DEVICE: Optional[str] = None  # tpu | cpu | None (autodetect)
+    IMAGE_DPI: int = 96  # detection, layout, reading order
+    IMAGE_DPI_HIGHRES: int = 192  # OCR, table rec
+    FLATTEN_PDF: bool = True
+    DISABLE_TQDM: bool = False
+    S3_BASE_URL: str = "https://models.datalab.to"
+    PARALLEL_DOWNLOAD_WORKERS: int = 10
+    MODEL_CACHE_DIR: str = str(Path(user_cache_dir("surya_tpu")) / "models")
+    LOGLEVEL: str = "INFO"
+
+    # Paths
+    DATA_DIR: str = "data"
+    RESULT_DIR: str = "results"
+    BASE_DIR: str = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    # Weight loading. When no checkpoint is reachable (no network / no local
+    # dir), predictors raise unless ALLOW_RANDOM_WEIGHTS is set — used by the
+    # test-suite and throughput benches, which don't assert accuracy.
+    ALLOW_RANDOM_WEIGHTS: bool = False
+    WEIGHT_SEED: int = 0
+
+    # Mesh / parallelism
+    MESH_DATA_AXIS: str = "data"
+    MESH_MODEL_AXIS: str = "model"
+    MESH_NUM_MODEL_SHARDS: int = 1  # >1 enables tensor parallelism
+
+    # Text detection
+    DETECTOR_BATCH_SIZE: Optional[int] = None  # default 2 on cpu, 32 on tpu
+    DETECTOR_MODEL_CHECKPOINT: str = "s3://text_detection/2025_05_07"
+    DETECTOR_BENCH_DATASET_NAME: str = "vikp/doclaynet_bench"
+    DETECTOR_IMAGE_CHUNK_HEIGHT: int = 1400
+    DETECTOR_TEXT_THRESHOLD: float = 0.6
+    DETECTOR_BLANK_THRESHOLD: float = 0.35
+    DETECTOR_POSTPROCESSING_CPU_WORKERS: int = min(8, os.cpu_count() or 1)
+    DETECTOR_MIN_PARALLEL_THRESH: int = 3
+    DETECTOR_BOX_Y_EXPAND_MARGIN: float = 0.05
+
+    # Text recognition
+    RECOGNITION_MODEL_CHECKPOINT: str = "s3://text_recognition/2025_05_16"
+    RECOGNITION_MAX_TOKENS: Optional[int] = None
+    RECOGNITION_BATCH_SIZE: Optional[int] = None  # default 8 on cpu, 256 on tpu
+    RECOGNITION_CHUNK_SIZE: Optional[int] = None
+    RECOGNITION_BENCH_DATASET_NAME: str = "vikp/rec_bench"
+    RECOGNITION_PAD_VALUE: int = 255
+
+    # Layout
+    LAYOUT_MODEL_CHECKPOINT: str = "s3://layout/2025_02_18"
+    LAYOUT_IMAGE_SIZE: Dict = {"height": 768, "width": 768}
+    LAYOUT_SLICE_MIN: Dict = {"height": 1500, "width": 1500}
+    LAYOUT_SLICE_SIZE: Dict = {"height": 1200, "width": 1200}
+    LAYOUT_BATCH_SIZE: Optional[int] = None
+    LAYOUT_BENCH_DATASET_NAME: str = "vikp/publaynet_bench"
+    LAYOUT_MAX_BOXES: int = 100
+    ORDER_BENCH_DATASET_NAME: str = "vikp/order_bench"
+
+    # Table rec
+    TABLE_REC_MODEL_CHECKPOINT: str = "s3://table_recognition/2025_02_18"
+    TABLE_REC_IMAGE_SIZE: Dict = {"height": 768, "width": 768}
+    TABLE_REC_MAX_BOXES: int = 150
+    TABLE_REC_BATCH_SIZE: Optional[int] = None
+    TABLE_REC_BENCH_DATASET_NAME: str = "datalab-to/fintabnet_bench"
+
+    # Texify
+    TEXIFY_BENCHMARK_DATASET: str = "datalab-to/texify_bench"
+
+    # OCR error detection
+    OCR_ERROR_MODEL_CHECKPOINT: str = "s3://ocr_error_detection/2025_02_18"
+    OCR_ERROR_BATCH_SIZE: Optional[int] = None
+
+    @cached_property
+    def DEVICE(self) -> str:
+        """Resolved JAX platform: 'tpu' when a TPU backend is live, else 'cpu'."""
+        if self.JAX_DEVICE is not None:
+            return self.JAX_DEVICE
+        import jax
+
+        platform = jax.devices()[0].platform
+        return "cpu" if platform == "cpu" else "tpu"
+
+    @cached_property
+    def MODEL_DTYPE(self) -> "jnp.dtype":  # noqa: F821
+        """bfloat16 on TPU (MXU-native), float32 on CPU."""
+        import jax.numpy as jnp
+
+        return jnp.float32 if self.DEVICE == "cpu" else jnp.bfloat16
+
+    @cached_property
+    def FOUNDATION_CHUNK_SIZE(self) -> int:
+        """Max packed vision-encoder patches per call (reference: 32768 on
+        accelerators, 4096 on cpu — surya/recognition/__init__.py:83)."""
+        return 4096 if self.DEVICE == "cpu" else 32768
+
+
+def _build_settings() -> Settings:
+    env = {**_load_dotenv(), **os.environ}
+    fields = set(Settings.model_fields)
+    return Settings(**{k: v for k, v in env.items() if k in fields})
+
+
+settings = _build_settings()

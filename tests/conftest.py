@@ -1,0 +1,39 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual XLA devices so multi-chip sharding logic is
+exercised without TPU hardware (SURVEY.md §4). Environment must be set before
+jax is imported anywhere.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("ALLOW_RANDOM_WEIGHTS", "true")
+
+# Stubs for deps the reference package imports but this image lacks
+# (dotenv, pydantic_settings) — only used by the torch-parity tests that
+# instantiate the reference models with random weights.
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "_stubs"))
+
+import pytest  # noqa: E402
+from PIL import Image, ImageDraw  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def test_image():
+    image = Image.new("RGB", (1024, 1024), "white")
+    draw = ImageDraw.Draw(image)
+    draw.text((10, 10), "Hello World", fill="black", font_size=72)
+    draw.text((10, 200), "This is a sentence of text.\nNow it is a paragraph.\nA three-line one.", fill="black", font_size=24)
+    return image
+
+
+@pytest.fixture(scope="session")
+def test_image_tall():
+    image = Image.new("RGB", (4096, 4096), "white")
+    draw = ImageDraw.Draw(image)
+    draw.text((10, 10), "Hello World", fill="black", font_size=72)
+    draw.text((4000, 4000), "This is a sentence of text.", fill="black", font_size=24)
+    return image
