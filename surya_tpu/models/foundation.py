@@ -1,0 +1,195 @@
+"""The recognition foundation model: ViT encoder + AR decoder + dual heads.
+
+TPU-native re-design of the reference SuryaModel
+(surya/common/surya/__init__.py:57-338). One jitted program performs the
+whole prefill — vision encoding, <IMAGE>-scatter, 2-D learned position
+embeddings, decoder prefill, KV scatter into the slot cache, and greedy
+sampling — so a prefill costs exactly one host→device round trip. Decoding
+runs as an on-device lax.while_loop emitting K tokens per host visit
+(the reference syncs logits to CPU EVERY token:
+surya/recognition/__init__.py:545-595 — the #1 cost eliminated here).
+
+Weight tying: lm_head shares the token embedding matrix (reference
+_tie_weights :113-116); we compute logits against the embedding table instead
+of materializing a second [vocab, hidden] array.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from surya_tpu import nn
+from surya_tpu.models import qwen_decoder, qwen_encoder
+
+
+@dataclass(frozen=True)
+class FoundationConfig:
+    vocab_size: int = 65536
+    bbox_size: int = 1025
+    bos_token_id: int = 0
+    eos_token_id: int = 1
+    pad_token_id: int = 2
+    image_token_id: int = 3
+    max_sequence_length: int = 1536
+    num_register_tokens: int = 4
+    image_embed_encoding_size: int = 1024
+    image_embed_encoding_multiplier: int = 256
+    encoder: qwen_encoder.EncoderConfig = field(default_factory=qwen_encoder.EncoderConfig)
+    decoder: qwen_decoder.DecoderConfig = field(default_factory=qwen_decoder.DecoderConfig)
+
+    @property
+    def hidden_size(self) -> int:
+        return self.decoder.hidden_size
+
+
+def init_params(config: FoundationConfig, key, dtype=jnp.float32):
+    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
+    h = config.hidden_size
+    return {
+        "vision_encoder": qwen_encoder.init_params(config.encoder, k1, dtype),
+        "decoder": qwen_decoder.init_params(config.decoder, k2, dtype),
+        "token_embed": nn.embedding_init(k3, config.vocab_size, h, dtype=dtype),
+        "img_w_embed": nn.embedding_init(k4, config.image_embed_encoding_size, h, dtype=dtype),
+        "img_h_embed": nn.embedding_init(k5, config.image_embed_encoding_size, h, dtype=dtype),
+        "bbox_head": nn.linear_init(k6, h, 6, dtype=dtype),
+        "lm_head_bias": jnp.zeros((config.vocab_size,), dtype),
+        # vision projection happens inside the encoder's merger; out_hidden
+        # must equal decoder hidden for the scatter to type-check
+    }
+
+
+def _sample_greedy(params, config: FoundationConfig, hidden: jnp.ndarray):
+    """Greedy token + confidence + bbox from last-token hidden states [B, h].
+    Mirrors process_outputs (surya/recognition/__init__.py:294-324)."""
+    emb = params["token_embed"]["embedding"]
+    logits = (hidden @ emb.T + params["lm_head_bias"]).astype(jnp.float32)
+    token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    score = jnp.max(probs, axis=-1)
+    bbox = jax.nn.sigmoid(nn.linear(params["bbox_head"], hidden).astype(jnp.float32))
+    bbox_int = (bbox * config.bbox_size).astype(jnp.int32)
+    return token, score, bbox_int
+
+
+def embed_prompt_tokens(params, config: FoundationConfig, input_ids, img_gather, image_tokens):
+    """Token embeddings with image embeddings scattered into <IMAGE> slots.
+    img_gather: [B, L] index into image_tokens rows, -1 for text positions
+    (host-computed — replaces the reference's masked_scatter
+    surya/common/surya/__init__.py:214-224)."""
+    tok = nn.embedding(params["token_embed"], input_ids)
+    img = jnp.take(image_tokens, jnp.maximum(img_gather, 0), axis=0)
+    return jnp.where((img_gather >= 0)[..., None], img.astype(tok.dtype), tok)
+
+
+def encode_images(params, config: FoundationConfig, patches, patch_gather, pos_hw, seg_id, unscatter, llm_h_idx, llm_w_idx):
+    """Vision encoder + 2-D learned position embeddings → image tokens
+    [llm_cap, hidden] in original order."""
+    img_tokens = qwen_encoder.apply(
+        params["vision_encoder"], config.encoder, patches, patch_gather, pos_hw, seg_id, unscatter
+    )
+    enc2d = nn.embedding(params["img_h_embed"], llm_h_idx) + nn.embedding(params["img_w_embed"], llm_w_idx)
+    return img_tokens + enc2d
+
+
+def prefill(
+    params,
+    config: FoundationConfig,
+    cache: dict,
+    patches,
+    patch_gather,
+    pos_hw,
+    seg_id,
+    unscatter,
+    llm_h_idx,
+    llm_w_idx,
+    input_ids,
+    img_gather,
+    seq_lens,
+    slot_idx,
+):
+    """Fused prefill: encode images, build the mixed embedding sequence,
+    run the decoder prefill, scatter KV into cache slots, sample token 0.
+
+    Returns (new_cache, token [B], score [B], bbox [B, 6])."""
+    image_tokens = encode_images(
+        params, config, patches, patch_gather, pos_hw, seg_id, unscatter, llm_h_idx, llm_w_idx
+    )
+    embeds = embed_prompt_tokens(params, config, input_ids, img_gather, image_tokens)
+    new_k, new_v, last_hidden = qwen_decoder.prefill(params["decoder"], config.decoder, embeds, seq_lens)
+    cache = qwen_decoder.merge_prefill(cache, new_k, new_v, seq_lens, slot_idx)
+    token, score, bbox = _sample_greedy(params, config, last_hidden)
+    return cache, token, score, bbox
+
+
+def decode_chunk(
+    params,
+    config: FoundationConfig,
+    cache: dict,
+    last_token: jnp.ndarray,  # [B] int32 input token per slot
+    active: jnp.ndarray,  # [B] bool — slot is generating
+    num_steps: int,
+):
+    """Run up to num_steps greedy decode steps entirely on device.
+
+    A slot stops when it emits EOS/PAD (its emitted token is still recorded,
+    matching the reference loop). Exits early once every slot is done.
+    Returns (cache, tokens [B, K], scores [B, K], bboxes [B, K, 6],
+    last_token [B], active [B]).
+    """
+    B = last_token.shape[0]
+    K = num_steps
+    tokens_buf = jnp.full((B, K), config.pad_token_id, jnp.int32)
+    scores_buf = jnp.zeros((B, K), jnp.float32)
+    bbox_buf = jnp.zeros((B, K, 6), jnp.int32)
+
+    def cond(state):
+        step, _, _, active, *_ = state
+        return (step < K) & jnp.any(active)
+
+    def body(state):
+        step, cache, last_token, active, tokens_buf, scores_buf, bbox_buf = state
+        emb = nn.embedding(params["token_embed"], last_token)
+        cache, hidden = qwen_decoder.decode_step(params["decoder"], config.decoder, cache, emb, advance=active)
+        token, score, bbox = _sample_greedy(params, config, hidden)
+
+        emitted_done = (token == config.eos_token_id) | (token == config.pad_token_id)
+        # record emissions for active slots only
+        tokens_buf = tokens_buf.at[:, step].set(jnp.where(active, token, config.pad_token_id))
+        scores_buf = scores_buf.at[:, step].set(jnp.where(active, jnp.where(emitted_done, 0.0, score), 0.0))
+        bbox_buf = bbox_buf.at[:, step].set(jnp.where(active[:, None], bbox, 0))
+
+        next_active = active & ~emitted_done
+        next_token = jnp.where(next_active, token, config.pad_token_id)
+        return step + 1, cache, next_token, next_active, tokens_buf, scores_buf, bbox_buf
+
+    state = (0, cache, last_token, active, tokens_buf, scores_buf, bbox_buf)
+    _, cache, last_token, active, tokens_buf, scores_buf, bbox_buf = jax.lax.while_loop(cond, body, state)
+    return cache, tokens_buf, scores_buf, bbox_buf, last_token, active
+
+
+# -- checkpoint conversion ----------------------------------------------------
+
+def convert_torch(tensors, config: FoundationConfig, dtype=jnp.float32):
+    from surya_tpu.common.weights import TensorBag
+
+    bag = tensors if isinstance(tensors, TensorBag) else TensorBag(tensors, dtype)
+    params = {
+        "vision_encoder": qwen_encoder.convert_torch(bag, config.encoder, "vision_encoder"),
+        "decoder": qwen_decoder.convert_torch(bag, config.decoder, "decoder"),
+        "token_embed": bag.embedding("embedder.token_embed"),
+        "img_w_embed": bag.embedding("img_w_embed"),
+        "img_h_embed": bag.embedding("img_h_embed"),
+        "bbox_head": bag.linear("bbox_head"),
+    }
+    if "lm_head.bias" in bag.tensors:
+        params["lm_head_bias"] = bag.raw("lm_head.bias")
+    else:
+        params["lm_head_bias"] = jnp.zeros((config.vocab_size,), dtype)
+    # lm_head.weight is tied to the embedding (reference :113-116)
+    bag.used.add("lm_head.weight")
+    bag.warn_unused("foundation")
+    return params

@@ -1,0 +1,205 @@
+"""Qwen2-style autoregressive decoder (recognition), in JAX.
+
+TPU-native re-design of the reference decoder
+(surya/common/surya/decoder/__init__.py:137-490). Differences from the torch
+version, all driven by XLA's static-shape model:
+
+  - the KV cache is a preallocated slot array [layers, slots, max_seq, kvh, hd]
+    with a per-slot length counter. Sequences are LEFT-ALIGNED (position 0 at
+    cache row 0) instead of the reference's left-padding + merge/trim dance
+    (surya/recognition/cache.py:39-105): prefill writes rows [0, len), decode
+    appends at cache_len, attention masks rows >= cache_len. Nothing is ever
+    re-packed, so shapes never change.
+  - prefill uses right padding + a pure causal mask (valid tokens only attend
+    valid predecessors by construction), and the last-token hidden state is
+    gathered at seq_len-1 per row.
+  - GQA (repeated kv heads), QKV bias, RoPE, RMSNorm and SwiGLU match the
+    reference numerically (fp32 softmax/norm islands).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from surya_tpu import nn
+from surya_tpu.ops import attention as att
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 65536
+    hidden_size: int = 1536
+    intermediate_size: int = 4096
+    num_hidden_layers: int = 10
+    num_attention_heads: int = 12
+    num_key_value_heads: int = 4
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-6
+    max_position_embeddings: int = 32768
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+def init_params(config: DecoderConfig, key, dtype=jnp.float32):
+    ks = nn.key_iter(key)
+    h, hd = config.hidden_size, config.head_dim
+    nh, nkv = config.num_attention_heads, config.num_key_value_heads
+    layers = []
+    for _ in range(config.num_hidden_layers):
+        layers.append(
+            {
+                "input_layernorm": nn.rmsnorm_init(h, dtype),
+                "post_attention_layernorm": nn.rmsnorm_init(h, dtype),
+                "self_attn": {
+                    "q_proj": nn.linear_init(next(ks), h, nh * hd, dtype=dtype),
+                    "k_proj": nn.linear_init(next(ks), h, nkv * hd, dtype=dtype),
+                    "v_proj": nn.linear_init(next(ks), h, nkv * hd, dtype=dtype),
+                    "o_proj": nn.linear_init(next(ks), nh * hd, h, bias=False, dtype=dtype),
+                },
+                "mlp": {
+                    "gate_proj": nn.linear_init(next(ks), h, config.intermediate_size, bias=False, dtype=dtype),
+                    "up_proj": nn.linear_init(next(ks), h, config.intermediate_size, bias=False, dtype=dtype),
+                    "down_proj": nn.linear_init(next(ks), config.intermediate_size, h, bias=False, dtype=dtype),
+                },
+            }
+        )
+    return {"layers": layers, "norm": nn.rmsnorm_init(h, dtype)}
+
+
+def init_cache(config: DecoderConfig, n_slots: int, max_seq: int, dtype):
+    shape = (config.num_hidden_layers, n_slots, max_seq, config.num_key_value_heads, config.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "len": jnp.zeros((n_slots,), jnp.int32),
+    }
+
+
+def _rope_cos_sin(config: DecoderConfig, positions: jnp.ndarray):
+    """positions [..., S] → cos/sin [..., S, head_dim]."""
+    freqs = att.rope_freqs(positions, config.head_dim, config.rope_theta)
+    ang = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _proj_qkv(p, x, config: DecoderConfig):
+    B, S, _ = x.shape
+    q = nn.linear(p["q_proj"], x).reshape(B, S, config.num_attention_heads, config.head_dim)
+    k = nn.linear(p["k_proj"], x).reshape(B, S, config.num_key_value_heads, config.head_dim)
+    v = nn.linear(p["v_proj"], x).reshape(B, S, config.num_key_value_heads, config.head_dim)
+    return q, k, v
+
+
+def _mlp(p, x):
+    return nn.linear(p["down_proj"], jax.nn.silu(nn.linear(p["gate_proj"], x)) * nn.linear(p["up_proj"], x))
+
+
+def prefill(params, config: DecoderConfig, embeds: jnp.ndarray, seq_lens: jnp.ndarray):
+    """Full-sequence causal forward (right-padded).
+
+    embeds: [B, L, hidden]; seq_lens: [B] valid lengths.
+    Returns (new_k [layers, B, L, kvh, hd], new_v, last_hidden [B, hidden]).
+    """
+    B, L, _ = embeds.shape
+    positions = jnp.arange(L)
+    cos, sin = _rope_cos_sin(config, positions)
+    cos, sin = cos[None, :, None, :], sin[None, :, None, :]
+    causal = att.mask_to_bias(jnp.tril(jnp.ones((L, L), bool)))[None, None]
+
+    x = embeds
+    ks, vs = [], []
+    for layer in params["layers"]:
+        h = nn.rmsnorm(layer["input_layernorm"], x, eps=config.rms_norm_eps)
+        q, k, v = _proj_qkv(layer["self_attn"], h, config)
+        q, k = att.apply_rope(q, k, cos, sin)
+        ks.append(k)
+        vs.append(v)
+        out = att.sdpa(q, k, v, bias=causal)
+        x = x + nn.linear(layer["self_attn"]["o_proj"], out.reshape(B, L, -1))
+        x = x + _mlp(layer["mlp"], nn.rmsnorm(layer["post_attention_layernorm"], x, eps=config.rms_norm_eps))
+
+    x = nn.rmsnorm(params["norm"], x, eps=config.rms_norm_eps)
+    last_hidden = jnp.take_along_axis(x, (seq_lens - 1)[:, None, None], axis=1)[:, 0]
+    return jnp.stack(ks), jnp.stack(vs), last_hidden
+
+
+def merge_prefill(cache: dict, new_k, new_v, seq_lens, slot_idx):
+    """Scatter a prefill's KV rows into cache slots (left-aligned) and set the
+    slot lengths. slot_idx: [B] target slot per prefill row."""
+    k = cache["k"].at[:, slot_idx, : new_k.shape[2]].set(new_k)
+    v = cache["v"].at[:, slot_idx, : new_v.shape[2]].set(new_v)
+    length = cache["len"].at[slot_idx].set(seq_lens)
+    return {"k": k, "v": v, "len": length}
+
+
+def decode_step(params, config: DecoderConfig, cache: dict, embeds: jnp.ndarray, advance: jnp.ndarray):
+    """One decode token for every slot.
+
+    embeds: [B, hidden] token embedding of the current input token per slot.
+    advance: [B] bool — slots still generating (frozen slots don't move their
+    write cursor; their compute is discarded).
+    Returns (new_cache, hidden [B, hidden]).
+    """
+    B = embeds.shape[0]
+    S = cache["k"].shape[2]
+    pos = cache["len"]  # [B] current token's position
+    write_at = jnp.minimum(pos, S - 1)
+    cos, sin = _rope_cos_sin(config, pos.astype(jnp.float32)[:, None])
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+
+    # keys valid at rows < pos, plus the current token's own row
+    key_rows = jnp.arange(S)[None, :]
+    mask = key_rows <= pos[:, None]  # [B, S]
+    bias = att.mask_to_bias(mask[:, None, None, :])  # [B, 1, 1, S]
+
+    x = embeds[:, None, :]  # [B, 1, h]
+    new_k_cache, new_v_cache = cache["k"], cache["v"]
+    rows = jnp.arange(B)
+    for li, layer in enumerate(params["layers"]):
+        h = nn.rmsnorm(layer["input_layernorm"], x, eps=config.rms_norm_eps)
+        q, k, v = _proj_qkv(layer["self_attn"], h, config)
+        q, k = att.apply_rope(q, k, cos, sin)
+        new_k_cache = new_k_cache.at[li, rows, write_at].set(k[:, 0])
+        new_v_cache = new_v_cache.at[li, rows, write_at].set(v[:, 0])
+        out = att.sdpa(q, new_k_cache[li], new_v_cache[li], bias=bias)
+        x = x + nn.linear(layer["self_attn"]["o_proj"], out.reshape(B, 1, -1))
+        x = x + _mlp(layer["mlp"], nn.rmsnorm(layer["post_attention_layernorm"], x, eps=config.rms_norm_eps))
+
+    x = nn.rmsnorm(params["norm"], x, eps=config.rms_norm_eps)
+    new_cache = {
+        "k": new_k_cache,
+        "v": new_v_cache,
+        "len": cache["len"] + advance.astype(jnp.int32),
+    }
+    return new_cache, x[:, 0]
+
+
+# -- checkpoint conversion ----------------------------------------------------
+
+def convert_torch(bag, config: DecoderConfig, prefix: str = "decoder"):
+    layers = []
+    for i in range(config.num_hidden_layers):
+        b = f"{prefix}.layers.{i}"
+        layers.append(
+            {
+                "input_layernorm": bag.rmsnorm(f"{b}.input_layernorm"),
+                "post_attention_layernorm": bag.rmsnorm(f"{b}.post_attention_layernorm"),
+                "self_attn": {
+                    "q_proj": bag.linear(f"{b}.self_attn.q_proj"),
+                    "k_proj": bag.linear(f"{b}.self_attn.k_proj"),
+                    "v_proj": bag.linear(f"{b}.self_attn.v_proj"),
+                    "o_proj": bag.linear(f"{b}.self_attn.o_proj", bias=False),
+                },
+                "mlp": {
+                    "gate_proj": bag.linear(f"{b}.mlp.gate_proj", bias=False),
+                    "up_proj": bag.linear(f"{b}.mlp.up_proj", bias=False),
+                    "down_proj": bag.linear(f"{b}.mlp.down_proj", bias=False),
+                },
+            }
+        )
+    return {"layers": layers, "norm": bag.rmsnorm(f"{prefix}.norm")}

@@ -9,8 +9,17 @@ import os
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["PALLAS_AXON_POOL_IPS"] = ""  # for child processes
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 os.environ.setdefault("ALLOW_RANDOM_WEIGHTS", "true")
+
+# A TPU-tunnel plugin in this image (axon sitecustomize) force-selects its
+# platform at interpreter start, silently ignoring JAX_PLATFORMS=cpu — tests
+# would then run on the remote TPU in bf16 and fail exact-fp32 parity
+# assertions. Counter-override before any backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Stubs for deps the reference package imports but this image lacks
 # (dotenv, pydantic_settings) — only used by the torch-parity tests that
