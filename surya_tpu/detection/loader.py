@@ -6,6 +6,7 @@ from typing import Optional, Tuple
 
 import jax
 
+from surya_tpu.common.runtime import setup_jax
 from surya_tpu.common.s3 import resolve_checkpoint
 from surya_tpu.common.weights import load_config_json, load_safetensors_dir
 from surya_tpu.logging import get_logger
@@ -21,6 +22,7 @@ def load_detection_model(
     """Returns (params, config). Reads a local/downloaded safetensors
     checkpoint when reachable; falls back to random init if
     settings.ALLOW_RANDOM_WEIGHTS (tests/benches) — else raises."""
+    setup_jax()
     name = checkpoint or settings.DETECTOR_MODEL_CHECKPOINT
     ckpt_dir = resolve_checkpoint(name)
     dtype = settings.MODEL_DTYPE

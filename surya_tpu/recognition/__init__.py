@@ -1,0 +1,512 @@
+"""Text recognition predictor with TPU-native continuous batching.
+
+Re-design of the reference RecognitionPredictor
+(surya/recognition/__init__.py:77-942). The scheduling semantics match —
+width-sorted queue, prefill when enough slots free (min_prefill_ratio),
+per-slot EOS/repeat/max-token stopping — but the execution model is built
+for XLA:
+
+  - ONE fused prefill program: vision encode + <IMAGE> scatter + decoder
+    prefill + KV scatter into free cache slots + first-token sampling.
+    Static shapes via patch-capacity and sequence-length buckets.
+  - decode runs K tokens per host visit inside jax.lax.while_loop; the
+    reference pulls logits to CPU EVERY token (its :545-595). Per chunk the
+    host receives only [slots, K] token/score ints and [slots, K, 6] bbox
+    ints (~100KB), so decode throughput is host-independent.
+  - the KV cache is a donated slot array that is never re-packed; freed
+    slots are simply overwritten by the next prefill (no cache merge/trim —
+    reference surya/recognition/cache.py is unnecessary by construction).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+from tqdm import tqdm
+
+from surya_tpu.common.polygon import PolygonBox
+from surya_tpu.common.predictor import BasePredictor
+from surya_tpu.input.processing import (
+    convert_if_not_rgb,
+    slice_bboxes_from_image,
+    slice_polys_from_image,
+)
+from surya_tpu.logging import get_logger
+from surya_tpu.models import foundation, qwen_decoder
+from surya_tpu.recognition.loader import load_recognition_model
+from surya_tpu.recognition.postprocessing import fix_unbalanced_tags
+from surya_tpu.recognition.schema import OCRResult, TextChar, TextLine
+from surya_tpu.recognition.tokenizer import NOMATH_TOKEN, TaskNames
+from surya_tpu.recognition.util import (
+    clean_close_polygons,
+    clean_math_tags,
+    detect_repeat_token,
+    prediction_to_polygon_batch,
+    sort_text_lines,
+    unwrap_math,
+    words_from_chars,
+)
+from surya_tpu.settings import settings
+
+import re
+
+logger = get_logger()
+
+
+@dataclass
+class RecognitionPrompt:
+    id: int
+    task_name: str
+    image: np.ndarray
+    text: Optional[str]
+    math_mode: bool
+
+
+class RecognitionPredictor(BasePredictor):
+    batch_size = settings.RECOGNITION_BATCH_SIZE
+    default_batch_sizes = {"cpu": 8, "tpu": 128}
+    min_prefill_ratio: float = 0.2
+    tasks = {
+        TaskNames.ocr_with_boxes: {"needs_bboxes": True, "img_size": (1024, 256), "max_tokens": 224},
+        TaskNames.ocr_without_boxes: {"needs_bboxes": False, "img_size": (1024, 256), "max_tokens": 224},
+        TaskNames.block_without_boxes: {"needs_bboxes": False, "img_size": (1024, 512), "max_tokens": 768},
+    }
+
+    def __init__(self, checkpoint: Optional[str] = None, tiny: bool = False):
+        self._tiny = tiny
+        super().__init__(checkpoint)
+
+    def _load(self, checkpoint: Optional[str]):
+        self.params, self.config, self.processor = load_recognition_model(checkpoint, tiny=self._tiny)
+        cfg = self.config
+
+        batch = self.get_batch_size()
+        self.n_slots = batch
+        self.prefill_rows = max(1, batch // 4)
+        self.decode_chunk = settings.RECOGNITION_DECODE_CHUNK
+        self.seq_buckets = tuple(settings.RECOGNITION_SEQ_BUCKETS)
+        # patch capacity per prefill round: window-padded OCR line is ~1920
+        # patches; floor of 4096 covers the largest single block-task image
+        # (1024x512 px budget). Rounded to the full-attention chunk size.
+        self.patch_cap = max(4096, -(-self.prefill_rows * 1984 // 512) * 512)
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def prefill_fn(params, cache, patches, patch_gather, pos_hw, seg_id, unscatter,
+                       llm_h_idx, llm_w_idx, input_ids, img_gather, seq_lens, slot_idx):
+            patches = patches.astype(settings.MODEL_DTYPE)
+            return foundation.prefill(
+                params, cfg, cache, patches, patch_gather, pos_hw, seg_id, unscatter,
+                llm_h_idx, llm_w_idx, input_ids, img_gather, seq_lens, slot_idx,
+            )
+
+        @partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(1,))
+        def decode_fn(params, cache, last_token, active, num_steps):
+            cache, toks, scores, bboxes, _, _ = foundation.decode_chunk(
+                params, cfg, cache, last_token, active, num_steps
+            )
+            return cache, toks, scores, bboxes
+
+        self._prefill_fn = prefill_fn
+        self._decode_fn = decode_fn
+
+    # -- slicing (host) ------------------------------------------------------
+
+    def detect_and_slice_bboxes(self, images, task_names, det_predictor,
+                                detection_batch_size=None, highres_images=None):
+        det_predictions = det_predictor(images, batch_size=detection_batch_size)
+
+        all_slices, slice_map, all_polygons, all_task_names, all_res_scales = [], [], [], [], []
+        for det_pred, image, highres, task_name in zip(det_predictions, images, highres_images, task_names):
+            polygons = [p.polygon for p in det_pred.bboxes]
+            if highres:
+                sx = highres.size[0] / image.size[0]
+                sy = highres.size[1] / image.size[1]
+                scaled = [[[int(p[0] * sx), int(p[1] * sy)] for p in poly] for poly in polygons]
+                arr = self.processor.image_processor(highres)
+                slices = slice_polys_from_image(arr, scaled)
+                res_scales = [(sx, sy)] * len(slices)
+            else:
+                arr = self.processor.image_processor(image)
+                slices = slice_polys_from_image(arr, polygons)
+                res_scales = [(1, 1)] * len(slices)
+            slice_map.append(len(slices))
+            all_slices.extend(slices)
+            all_polygons.extend(polygons)
+            all_task_names.extend([task_name] * len(slices))
+            all_res_scales.extend(res_scales)
+
+        return {
+            "slices": all_slices,
+            "slice_map": slice_map,
+            "polygons": all_polygons,
+            "task_names": all_task_names,
+            "input_text": [None] * len(all_slices),
+            "res_scales": all_res_scales,
+        }
+
+    def slice_bboxes(self, images, task_names, bboxes=None, polygons=None, input_text=None):
+        assert bboxes is not None or polygons is not None
+        slice_map, all_slices, all_polygons, all_text, all_task_names = [], [], [], [], []
+        for idx, image in enumerate(images):
+            arr = self.processor.image_processor(image)
+            if polygons is not None:
+                polys = polygons[idx]
+                slices = slice_polys_from_image(arr, polys)
+            else:
+                slices = slice_bboxes_from_image(arr, bboxes[idx])
+                polys = [
+                    [[b[0], b[1]], [b[2], b[1]], [b[2], b[3]], [b[0], b[3]]]
+                    for b in bboxes[idx]
+                ]
+            slice_map.append(len(slices))
+            all_slices.extend(slices)
+            all_polygons.extend(polys)
+            all_task_names.extend([task_names[idx]] * len(slices))
+            all_text.extend([None] * len(slices) if input_text is None else input_text[idx])
+
+        return {
+            "slices": all_slices,
+            "slice_map": slice_map,
+            "polygons": all_polygons,
+            "input_text": all_text,
+            "task_names": all_task_names,
+            "res_scales": [(1, 1)] * len(all_slices),
+        }
+
+    def _prepare_image(self, image: np.ndarray, task_name: str) -> np.ndarray:
+        img_size = self.tasks[task_name]["img_size"]
+        try:
+            return self.processor.scale_to_fit(image, img_size)
+        except cv2.error:
+            return np.zeros((img_size[1], img_size[0], 3), np.float32)
+
+    def _estimate_window_slots(self, image: np.ndarray) -> int:
+        f = self.processor.factor
+        enc = self.config.encoder
+        h = max(f, -(-int(image.shape[0]) // f) * f) // enc.patch_size
+        w = max(f, -(-int(image.shape[1]) // f) * f) // enc.patch_size
+        wc = enc.window_cells
+        llm_h, llm_w = h // enc.spatial_merge_size, w // enc.spatial_merge_size
+        return (-(-llm_h // wc) * wc) * (-(-llm_w // wc) * wc) * enc.merge_unit
+
+    # -- the scheduler -------------------------------------------------------
+
+    def prediction_loop(self, flat: dict, recognition_batch_size=None, math_mode=True):
+        n = len(flat["slices"])
+        predicted_tokens: List[List[int]] = [[] for _ in range(n)]
+        scores: List[List[float]] = [[] for _ in range(n)]
+        bboxes: List[List[np.ndarray]] = [[] for _ in range(n)]
+
+        B = recognition_batch_size or self.get_batch_size()
+        cfg = self.config
+        eos, pad, nop = cfg.eos_token_id, cfg.pad_token_id, self.processor.no_output_token
+
+        queue = deque()
+        max_tokens = {}
+        for idx, (img, txt, task) in enumerate(zip(flat["slices"], flat["input_text"], flat["task_names"])):
+            queue.append(RecognitionPrompt(id=idx, task_name=task, image=img, text=txt, math_mode=math_mode))
+            max_tokens[idx] = settings.RECOGNITION_MAX_TOKENS or self.tasks[task]["max_tokens"]
+
+        n_slots = min(B, self.n_slots)
+        cache = qwen_decoder.init_cache(
+            cfg.decoder, n_slots + 1, cfg.max_sequence_length, settings.MODEL_DTYPE
+        )
+        slot_prompt: List[Optional[int]] = [None] * n_slots
+        last_token = np.full(n_slots + 1, pad, np.int32)
+        active = np.zeros(n_slots + 1, bool)
+
+        pbar = tqdm(total=n, desc="Recognizing Text", disable=self.disable_tqdm)
+
+        def free_slots():
+            return [i for i, p in enumerate(slot_prompt) if p is None]
+
+        def finish(slot):
+            slot_prompt[slot] = None
+            active[slot] = False
+            last_token[slot] = pad
+            pbar.update(1)
+
+        while queue or any(p is not None for p in slot_prompt):
+            frees = free_slots()
+            if queue and len(frees) / n_slots > self.min_prefill_ratio:
+                # -- prefill round: pack prompts under slot + patch budgets --
+                round_prompts: List[RecognitionPrompt] = []
+                imgs: List[np.ndarray] = []
+                slot_budget = min(len(frees), self.prefill_rows)
+                patch_budget = self.patch_cap
+                while queue and len(round_prompts) < slot_budget:
+                    prompt = queue[0]
+                    img = self._prepare_image(prompt.image, prompt.task_name)
+                    need = self._estimate_window_slots(img)
+                    if round_prompts and need > patch_budget:
+                        break
+                    queue.popleft()
+                    round_prompts.append(prompt)
+                    imgs.append(img)
+                    patch_budget -= need
+
+                batch = self.processor.build_prefill_batch(
+                    imgs,
+                    [p.task_name for p in round_prompts],
+                    [p.text for p in round_prompts],
+                    [p.math_mode for p in round_prompts],
+                    cfg.encoder,
+                    batch_rows=self.prefill_rows,
+                    seq_buckets=self.seq_buckets,
+                    patch_cap=self.patch_cap,
+                )
+                slot_idx = np.full(self.prefill_rows, n_slots, np.int32)  # trash slot
+                target_slots = frees[: len(round_prompts)]
+                slot_idx[: len(round_prompts)] = target_slots
+
+                layout = batch.layout
+                cache, tok0, score0, bbox0 = self._prefill_fn(
+                    self.params, cache,
+                    jnp.asarray(batch.patches), jnp.asarray(layout.patch_gather),
+                    jnp.asarray(layout.pos_hw), jnp.asarray(layout.seg_id),
+                    jnp.asarray(layout.unscatter), jnp.asarray(layout.llm_h_idx),
+                    jnp.asarray(layout.llm_w_idx), jnp.asarray(batch.input_ids),
+                    jnp.asarray(batch.img_gather), jnp.asarray(batch.seq_lens),
+                    jnp.asarray(slot_idx),
+                )
+                tok0 = np.asarray(tok0)
+                score0 = np.asarray(score0)
+                bbox0 = np.asarray(bbox0)
+
+                for row, (slot, prompt) in enumerate(zip(target_slots, round_prompts)):
+                    pid = prompt.id
+                    slot_prompt[slot] = pid
+                    t = int(tok0[row])
+                    predicted_tokens[pid].append(t)
+                    scores[pid].append(0.0 if t in (eos, pad) else float(score0[row]))
+                    bboxes[pid].append(bbox0[row])
+                    if t in (eos, nop):  # reference prefill done-check :571-576
+                        finish(slot)
+                    else:
+                        last_token[slot] = pad if t in (eos, pad) else t
+                        active[slot] = True
+            else:
+                # -- decode chunk: K tokens fully on device --
+                cache, toks, chunk_scores, chunk_bboxes = self._decode_fn(
+                    self.params, cache, jnp.asarray(last_token), jnp.asarray(active),
+                    num_steps=self.decode_chunk,
+                )
+                toks = np.asarray(toks)
+                chunk_scores = np.asarray(chunk_scores)
+                chunk_bboxes = np.asarray(chunk_bboxes)
+
+                for slot in range(n_slots):
+                    pid = slot_prompt[slot]
+                    if pid is None or not active[slot]:
+                        continue
+                    for j in range(self.decode_chunk):
+                        t = int(toks[slot, j])
+                        predicted_tokens[pid].append(t)
+                        scores[pid].append(float(chunk_scores[slot, j]))
+                        bboxes[pid].append(chunk_bboxes[slot, j])
+                        stop = (
+                            t in (eos, pad)
+                            or len(predicted_tokens[pid]) >= max_tokens[pid]
+                            or detect_repeat_token(predicted_tokens[pid])
+                        )
+                        if stop:
+                            finish(slot)
+                            break
+                    else:
+                        last_token[slot] = int(toks[slot, self.decode_chunk - 1])
+
+        pbar.close()
+
+        max_len = max((len(b) for b in bboxes), default=1)
+        bbox_arr = np.zeros((n, max(max_len, 1), 6), np.float32)
+        for i, bs in enumerate(bboxes):
+            if bs:
+                bbox_arr[i, : len(bs)] = np.stack(bs)
+        return predicted_tokens, bbox_arr, scores
+
+    # -- detokenization / assembly (host; reference :609-771) ---------------
+
+    def get_bboxes_text(self, flat, predicted_tokens, scores, predicted_polygons, drop_repeated_text=False):
+        char_predictions = []
+        needs_boxes = [self.tasks[t]["needs_bboxes"] for t in flat["task_names"]]
+        tok = self.processor.tokenizer
+        eos, pad = self.config.eos_token_id, self.config.pad_token_id
+        blank_bbox = [[0, 0], [0, 1], [1, 1], [1, 0]]
+
+        for image_tokens, image_polygons, image_scores, needs_box in zip(
+            predicted_tokens, predicted_polygons, scores, needs_boxes
+        ):
+            if self.processor.no_output_token in image_tokens:
+                char_predictions.append(None)
+                continue
+            if drop_repeated_text and detect_repeat_token(image_tokens):
+                char_predictions.append(
+                    [TextChar(text="", polygon=blank_bbox, confidence=0, bbox_valid=False)]
+                )
+                continue
+
+            image_polygons = image_polygons[: len(image_tokens)].tolist()
+
+            # split the stream into qwen/special/utf-16 runs
+            sequences = []
+            current: List[tuple] = []
+            current_kind = None
+
+            def flush():
+                nonlocal current, current_kind
+                if current:
+                    sequences.append((current, current_kind))
+                current, current_kind = [], None
+
+            for bbox, char_id, score in zip(image_polygons, image_tokens, image_scores):
+                if char_id in (eos, pad):
+                    break
+                if char_id < tok.qwen_offset:
+                    kind = "qwen"
+                elif char_id < tok.special_token_offset:
+                    kind = "special"
+                else:
+                    kind = "ocr"
+                if kind != current_kind or kind == "special":
+                    flush()
+                    current_kind = kind
+                current.append((char_id, score, bbox))
+            flush()
+
+            img_chars: List[TextChar] = []
+            for seq, kind in sequences:
+                token_ids = [s[0] for s in seq]
+                seq_scores = [s[1] for s in seq]
+                seq_bboxes = [s[2] for s in seq]
+                if kind == "ocr":
+                    text = tok.decode(token_ids, task=TaskNames.ocr_with_boxes)
+                    polys = clean_close_polygons(seq_bboxes)
+                    bbox_idx = 0
+                    for ch in text:
+                        img_chars.append(
+                            TextChar(text=ch, polygon=polys[bbox_idx], confidence=seq_scores[bbox_idx], bbox_valid=True)
+                        )
+                        if bbox_idx < len(polys) - 1:
+                            bbox_idx += 1
+                elif kind == "special":
+                    text = tok.decode(token_ids, task=TaskNames.ocr_without_boxes)
+                    if text == NOMATH_TOKEN or re.match(r"<SCRIPT-\w+>", text):
+                        continue
+                    img_chars.append(
+                        TextChar(text=text, polygon=blank_bbox, confidence=seq_scores[0], bbox_valid=False)
+                    )
+                else:
+                    text = tok.decode(token_ids, task=TaskNames.block_without_boxes)
+                    img_chars.append(
+                        TextChar(text=text, polygon=blank_bbox, confidence=seq_scores[0], bbox_valid=False)
+                    )
+            char_predictions.append(img_chars)
+        return char_predictions
+
+    # -- public API ----------------------------------------------------------
+
+    def __call__(
+        self,
+        images: List[Image.Image],
+        task_names: Optional[List[str]] = None,
+        det_predictor=None,
+        detection_batch_size: Optional[int] = None,
+        recognition_batch_size: Optional[int] = None,
+        highres_images: Optional[List[Image.Image]] = None,
+        bboxes=None,
+        polygons=None,
+        input_text=None,
+        sort_lines: bool = False,
+        math_mode: bool = True,
+        return_words: bool = False,
+        drop_repeated_text: bool = False,
+    ) -> List[OCRResult]:
+        if task_names is None:
+            task_names = [TaskNames.ocr_with_boxes] * len(images)
+        assert all(t in self.tasks for t in task_names)
+        assert len(images) == len(task_names)
+
+        images = convert_if_not_rgb(images)
+        highres_images = (
+            convert_if_not_rgb(highres_images) if highres_images is not None else [None] * len(images)
+        )
+
+        if bboxes is None and polygons is None:
+            assert det_predictor is not None, "need a detection predictor or explicit boxes"
+            flat = self.detect_and_slice_bboxes(
+                images, task_names, det_predictor,
+                detection_batch_size=detection_batch_size, highres_images=highres_images,
+            )
+        else:
+            flat = self.slice_bboxes(images, task_names, bboxes=bboxes, polygons=polygons, input_text=input_text)
+
+        if len(flat["slices"]) == 0:
+            return []
+
+        # longest lines first: keeps prefill rounds shape-homogeneous
+        order = sorted(range(len(flat["slices"])), key=lambda i: -flat["slices"][i].shape[1])
+        flat["slices"] = [flat["slices"][i] for i in order]
+        flat["input_text"] = [flat["input_text"][i] for i in order]
+        flat["task_names"] = [flat["task_names"][i] for i in order]
+
+        predicted_tokens, bbox_arr, scores = self.prediction_loop(
+            flat, recognition_batch_size=recognition_batch_size, math_mode=math_mode
+        )
+
+        bbox_size = self.config.bbox_size
+        image_sizes = [img.shape for img in flat["slices"]]
+        predicted_polygons = prediction_to_polygon_batch(bbox_arr, image_sizes, bbox_size, bbox_size // 2)
+        char_predictions = self.get_bboxes_text(
+            flat, predicted_tokens, scores, predicted_polygons, drop_repeated_text=drop_repeated_text
+        )
+
+        # undo the width sort
+        char_predictions = [p for _, p in sorted(zip(order, char_predictions), key=lambda x: x[0])]
+
+        results = []
+        slice_start = 0
+        for idx, image in enumerate(images):
+            slice_end = slice_start + flat["slice_map"][idx]
+            image_lines = char_predictions[slice_start:slice_end]
+            polys = flat["polygons"][slice_start:slice_end]
+            res_scales = flat["res_scales"][slice_start:slice_end]
+            slice_start = slice_end
+
+            lines = []
+            for text_line, polygon, res_scale in zip(image_lines, polys, res_scales):
+                if not text_line:
+                    lines.append(
+                        TextLine(text="", polygon=polygon, chars=[], confidence=1, original_text_good=True)
+                    )
+                    continue
+                confidence = float(np.mean([c.confidence for c in text_line])) if text_line else 0
+                poly_box = PolygonBox(polygon=polygon)
+                for char in text_line:
+                    char.rescale(res_scale, (1, 1))
+                    char.shift(poly_box.bbox[0], poly_box.bbox[1])
+                    char.clamp(poly_box.bbox)
+                text_line = fix_unbalanced_tags(text_line, self.processor.tokenizer.special_tokens)
+                text = "".join(c.text for c in text_line)
+                text = unwrap_math(text)
+                text = clean_math_tags(text)
+                lines.append(
+                    TextLine(
+                        text=text,
+                        polygon=polygon,
+                        chars=text_line,
+                        confidence=confidence,
+                        words=words_from_chars(text_line, poly_box) if return_words else [],
+                    )
+                )
+            if sort_lines:
+                lines = sort_text_lines(lines)
+            results.append(OCRResult(text_lines=lines, image_bbox=[0, 0, image.size[0], image.size[1]]))
+        return results

@@ -1,0 +1,222 @@
+"""Recognition input processor: image scaling/tiling + prompt assembly.
+
+Host-side counterpart of the reference SuryaOCRProcessor
+(surya/common/surya/processor/__init__.py:42-424), re-organized for the TPU
+runtime: instead of emitting ragged torch tensors, `build_prefill_batch`
+assembles one fully static-shape bundle per prefill round — padded patch
+array, window-layout plan, right-padded token matrix and the <IMAGE>-scatter
+index map — ready to feed the fused prefill program.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+from PIL import Image
+
+from surya_tpu.models import qwen_encoder
+from surya_tpu.recognition.tokenizer import (
+    BLOCK_WITHOUT_BOXES_TOKEN,
+    EOI_TOKEN,
+    EOS_TOKEN,
+    IMAGE_ROTATED_TOKEN,
+    IMAGE_TOKEN,
+    NOMATH_TOKEN,
+    NO_OUTPUT_TOKEN,
+    OCR_WITHOUT_BOXES_BOS_TOKEN,
+    OCR_WITH_BOXES_BOS_TOKEN,
+    PAD_TOKEN,
+    REGISTER_TOKENS,
+    OCRTokenizer,
+    TaskNames,
+)
+
+IMAGE_MEAN = np.array((0.485, 0.456, 0.406), np.float32)
+IMAGE_STD = np.array((0.229, 0.224, 0.225), np.float32)
+
+
+@dataclass
+class PrefillBatch:
+    """Static-shape device inputs for one prefill round (numpy)."""
+
+    patches: np.ndarray  # [cap_raw, patch_dim] float32 normalized
+    layout: qwen_encoder.EncoderLayout
+    input_ids: np.ndarray  # [Bp, L] int32 right-padded
+    img_gather: np.ndarray  # [Bp, L] int32 (-1 = text position)
+    seq_lens: np.ndarray  # [Bp] int32
+    n_prompts: int  # real rows (rest are padding)
+
+
+class RecognitionProcessor:
+    def __init__(self, tokenizer: OCRTokenizer, patch_size: int = 14, merge_size: int = 2, num_register_tokens: int = 4):
+        self.tokenizer = tokenizer
+        self.patch_size = patch_size
+        self.merge_size = merge_size
+        self.num_register_tokens = num_register_tokens
+
+        st = tokenizer.system_tokens
+        self.image_token_id = st[IMAGE_TOKEN]
+        self.pad_token_id = st[PAD_TOKEN]
+        self.eos_token_id = st[EOS_TOKEN]
+        self.eoi_token_id = st[EOI_TOKEN]
+        self.no_output_token = st[NO_OUTPUT_TOKEN]
+        self.image_rotated_token = st[IMAGE_ROTATED_TOKEN]
+        self.nomath_token = st[NOMATH_TOKEN]
+        self.register_token_ids = [st[r] for r in REGISTER_TOKENS][: num_register_tokens]
+        self.bos_token_id = {
+            TaskNames.ocr_with_boxes: st[OCR_WITH_BOXES_BOS_TOKEN],
+            TaskNames.ocr_without_boxes: st[OCR_WITHOUT_BOXES_BOS_TOKEN],
+            TaskNames.block_without_boxes: st[BLOCK_WITHOUT_BOXES_TOKEN],
+        }
+        # special ids that never carry bboxes (all specials except math tags)
+        math_ext = set(tokenizer.special_tokens["math_external"])
+        self.ignore_bbox_token_ids = [
+            v for k, v in tokenizer.SPECIAL_TOKEN_MAPPING.items() if k not in math_ext
+        ]
+        self.math_start_token_ids = [
+            v for k, v in tokenizer.SPECIAL_TOKEN_MAPPING.items() if k in math_ext and k != "</math>"
+        ]
+        self.math_end_token_ids = [
+            v for k, v in tokenizer.SPECIAL_TOKEN_MAPPING.items() if k == "</math>"
+        ]
+
+    # -- image handling ------------------------------------------------------
+
+    @property
+    def factor(self) -> int:
+        return self.patch_size * self.merge_size
+
+    def image_processor(self, image: Image.Image) -> np.ndarray:
+        return np.asarray(image, dtype=np.float32)
+
+    @staticmethod
+    def scale_to_fit(img: np.ndarray, max_size: Tuple[int, int], min_size: Tuple[int, int] = (168, 168)) -> np.ndarray:
+        """Area-preserving rescale into [min, max] pixel budget (reference
+        :143-180; LANCZOS4, floor on shrink, ceil on grow)."""
+        height, width = img.shape[:2]
+        if width == 0 or height == 0:
+            return img
+        current = width * height
+        max_px = max_size[0] * max_size[1]
+        min_px = min_size[0] * min_size[1]
+        if current > max_px:
+            s = (max_px / current) ** 0.5
+            new_w, new_h = math.floor(width * s), math.floor(height * s)
+        elif current == 0:
+            return img
+        elif current < min_px:
+            s = (min_px / current) ** 0.5
+            new_w, new_h = math.ceil(width * s), math.ceil(height * s)
+        else:
+            return img
+        return cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LANCZOS4)
+
+    def align_long_axis(self, image: np.ndarray) -> Tuple[np.ndarray, bool]:
+        h, w = image.shape[:2]
+        if h > w:
+            return cv2.rotate(image, cv2.ROTATE_90_COUNTERCLOCKWISE), True
+        return image, False
+
+    def tile_image(self, image: np.ndarray) -> Tuple[np.ndarray, Tuple[int, int]]:
+        """Resize to a multiple of patch*merge, normalize, and flatten into
+        per-patch rows (reference _process_and_tile :185-230).
+
+        Returns (patches [n, 3*p*p] float32, grid (h, w) in patch units)."""
+        f = self.factor
+        height, width = image.shape[:2]
+        h_bar = max(f, math.ceil(height / f) * f)
+        w_bar = max(f, math.ceil(width / f) * f)
+        if (h_bar, w_bar) != (height, width):
+            image = cv2.resize(image, (w_bar, h_bar), interpolation=cv2.INTER_CUBIC)
+
+        image = (image.astype(np.float64) / 255.0).astype(np.float32)
+        image = (image - IMAGE_MEAN) / IMAGE_STD
+
+        grid_h, grid_w = h_bar // self.patch_size, w_bar // self.patch_size
+        m, p = self.merge_size, self.patch_size
+        # [H, W, C] -> token order (cell_r, cell_c, dr, dc), patch layout (C, p, p)
+        x = image.reshape(grid_h // m, m, p, grid_w // m, m, p, 3)
+        x = x.transpose(0, 3, 1, 4, 6, 2, 5)  # cell_r, cell_c, dr, dc, C, p, p
+        patches = x.reshape(grid_h * grid_w, 3 * p * p)
+        return np.ascontiguousarray(patches), (grid_h, grid_w)
+
+    # -- prompt assembly -----------------------------------------------------
+
+    def build_prompt_ids(self, task: str, n_image_tokens: int, text: str, math_mode: bool, rotated: bool = False) -> List[int]:
+        """<IMAGE>*n + registers [+ROT prefix] + task BOS + input text + EOI
+        (reference _process_image_input :233-262 + _process_ocr_with_boxes
+        :278-329)."""
+        ids = [self.image_token_id] * n_image_tokens + self.register_token_ids
+        if rotated:
+            ids = [self.image_rotated_token] + ids
+        text_ids = self.tokenizer.encode(text, task=task) if text else []
+        if not math_mode:
+            text_ids = [self.nomath_token] + text_ids
+        return ids + [self.bos_token_id[task]] + text_ids + [self.eoi_token_id]
+
+    def build_prefill_batch(
+        self,
+        images: Sequence[np.ndarray],  # already scale_to_fit'ed float arrays
+        tasks: Sequence[str],
+        texts: Sequence[Optional[str]],
+        math_modes: Sequence[bool],
+        encoder_config,
+        batch_rows: int,
+        seq_buckets: Sequence[int],
+        patch_cap: int,
+    ) -> PrefillBatch:
+        """Tile every image, plan the encoder layout at `patch_cap`, and build
+        the static right-padded token matrix + image-token scatter map."""
+        all_patches, grids, prompts = [], [], []
+        for img, task, text, math_mode in zip(images, tasks, texts, math_modes):
+            patches, grid = self.tile_image(img)
+            n_tok = grid[0] * grid[1] // (self.merge_size**2)
+            all_patches.append(patches)
+            grids.append(grid)
+            prompts.append(self.build_prompt_ids(task, n_tok, text or "", math_mode))
+
+        cat = np.concatenate(all_patches, axis=0) if all_patches else np.zeros((0, 3 * self.patch_size**2), np.float32)
+        if cat.shape[0] > patch_cap:
+            raise ValueError(f"prefill patches {cat.shape[0]} exceed cap {patch_cap}")
+        patch_buf = np.zeros((patch_cap, cat.shape[1] if cat.size else 3 * self.patch_size**2), np.float32)
+        patch_buf[: cat.shape[0]] = cat
+
+        layout = qwen_encoder.plan_layout(grids, encoder_config, patch_cap)
+
+        max_len = max((len(p) for p in prompts), default=1)
+        L = next((b for b in seq_buckets if b >= max_len), None)
+        if L is None:
+            raise ValueError(f"prompt length {max_len} exceeds largest bucket {seq_buckets[-1]}")
+
+        input_ids = np.full((batch_rows, L), self.pad_token_id, np.int32)
+        img_gather = np.full((batch_rows, L), -1, np.int32)
+        seq_lens = np.ones((batch_rows,), np.int32)
+        llm_base = 0
+        for i, (ids, grid) in enumerate(zip(prompts, grids)):
+            input_ids[i, : len(ids)] = ids
+            n_tok = grid[0] * grid[1] // (self.merge_size**2)
+            img_positions = [j for j, t in enumerate(ids) if t == self.image_token_id]
+            for k, j in enumerate(img_positions):
+                img_gather[i, j] = llm_base + k
+            llm_base += n_tok
+            seq_lens[i] = len(ids)
+
+        return PrefillBatch(
+            patches=patch_buf,
+            layout=layout,
+            input_ids=input_ids,
+            img_gather=img_gather,
+            seq_lens=seq_lens,
+            n_prompts=len(prompts),
+        )
+
+    def decode(self, tokens: List[int], task: str) -> str:
+        """Strip SYSTEM ids (pad/eos/registers/...; formatting and math tags
+        survive and detokenize to their tag text) — reference :416-424."""
+        system_vals = set(self.tokenizer.system_tokens.values())
+        filtered = [t for t in tokens if t not in system_vals and t != -100]
+        return self.tokenizer.decode(filtered, task=task)

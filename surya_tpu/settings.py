@@ -80,6 +80,10 @@ class Settings(BaseModel):
     RECOGNITION_CHUNK_SIZE: Optional[int] = None
     RECOGNITION_BENCH_DATASET_NAME: str = "vikp/rec_bench"
     RECOGNITION_PAD_VALUE: int = 255
+    # TPU scheduling knobs: tokens decoded on-device per host visit, and the
+    # static sequence-length buckets prefill rounds compile against
+    RECOGNITION_DECODE_CHUNK: int = 32
+    RECOGNITION_SEQ_BUCKETS: tuple = (512, 1024, 1536)
 
     # Layout
     LAYOUT_MODEL_CHECKPOINT: str = "s3://layout/2025_02_18"

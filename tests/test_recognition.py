@@ -1,0 +1,97 @@
+"""Recognition predictor end-to-end tests with a tiny random model —
+pipeline mechanics (continuous batching, slot reuse, schema assembly), plus
+pure-function behavior mirrored from the reference's tests/test_recognition.py."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from surya_tpu.recognition.schema import OCRResult
+
+
+@pytest.fixture(scope="module")
+def recognition_predictor():
+    from surya_tpu.recognition import RecognitionPredictor
+
+    pred = RecognitionPredictor(tiny=True)
+    pred.batch_size = 4  # small slot count to force slot reuse
+    pred.n_slots = 4
+    pred.prefill_rows = 2
+    pred.patch_cap = 4096
+    return pred
+
+
+def test_ocr_with_boxes(recognition_predictor, test_image):
+    bboxes = [[[10, 5, 300, 60], [10, 200, 400, 240], [10, 260, 300, 300]]]
+    results = recognition_predictor([test_image], bboxes=bboxes)
+    assert len(results) == 1
+    assert isinstance(results[0], OCRResult)
+    assert len(results[0].text_lines) == 3
+    for line, bbox in zip(results[0].text_lines, bboxes[0]):
+        assert line.polygon[0] == [bbox[0], bbox[1]]
+        assert isinstance(line.text, str)
+
+
+def test_slot_reuse_many_lines(recognition_predictor, test_image):
+    # more lines than slots -> queue + slot turnover
+    bboxes = [[[5, 5 + 30 * i, 200, 30 + 30 * i] for i in range(10)]]
+    results = recognition_predictor([test_image], bboxes=bboxes)
+    assert len(results[0].text_lines) == 10
+
+
+def test_latex_task(recognition_predictor, test_image):
+    results = recognition_predictor(
+        [test_image],
+        task_names=["block_without_boxes"],
+        bboxes=[[[0, 0, 1024, 1024]]],
+        math_mode=True,
+    )
+    assert len(results) == 1
+    assert len(results[0].text_lines) == 1
+
+
+def test_empty_inputs(recognition_predictor):
+    assert recognition_predictor([], bboxes=[]) == []
+
+
+def test_detect_repeat_token():
+    from surya_tpu.recognition.util import detect_repeat_token
+
+    assert not detect_repeat_token([1, 2, 3] * 5)
+    assert detect_repeat_token([5, 7] * 30)
+    assert detect_repeat_token([9] * 41)
+    assert not detect_repeat_token(list(range(100)))
+
+
+def test_clean_math_tags():
+    from surya_tpu.recognition.util import clean_math_tags
+
+    assert clean_math_tags("<math>x + y</math>") == "<math>x + y</math>"
+    assert clean_math_tags("a</math>b") == "ab"  # orphan closer dropped
+    assert clean_math_tags("<math><i>x</i>+1</math>") == "<math>x+1</math>"
+
+
+def test_tokenizer_roundtrip():
+    from surya_tpu.recognition.tokenizer import OCRTokenizer, TaskNames
+
+    tok = OCRTokenizer()
+    for text in ["Hello, World!", "héllo ünïcode", "日本語テスト", "<b>bold</b> text"]:
+        ids = tok.encode(text, TaskNames.ocr_with_boxes)
+        assert tok.decode(ids, TaskNames.ocr_with_boxes) == text
+
+    # math content routes through the math tokenizer and back
+    math_text = "<math>x^2 + y_1</math>"
+    ids = tok.encode(math_text, TaskNames.ocr_with_boxes)
+    assert tok.decode(ids, TaskNames.ocr_with_boxes) == math_text
+    # block task is pure math-tokenizer
+    ids = tok.encode("E = mc^2", TaskNames.block_without_boxes)
+    assert tok.decode(ids, TaskNames.block_without_boxes) == "E = mc^2"
+
+
+def test_truncate_repetitions():
+    from surya_tpu.recognition.postprocessing import truncate_repetitions
+
+    t = "normal text " + "repeat this phrase " * 10
+    out = truncate_repetitions(t)
+    assert len(out) < len(t)
+    assert truncate_repetitions("short") == "short"
