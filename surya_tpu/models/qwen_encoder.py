@@ -330,7 +330,8 @@ def apply(params, config: EncoderConfig, patches, patch_gather, pos_hw, seg_id, 
     merger = params["merger"]
     x = nn.rmsnorm(merger["ln_q"], x)
     cells = x.reshape(-1, config.merge_unit * config.hidden_size)
-    merged = nn.linear(merger["mlp2"], jax.nn.gelu(nn.linear(merger["mlp0"], cells)))
+    # torch nn.GELU() default is the exact (erf) form
+    merged = nn.linear(merger["mlp2"], jax.nn.gelu(nn.linear(merger["mlp0"], cells), approximate=False))
     return jnp.take(merged, unscatter, axis=0)  # window order -> original order
 
 

@@ -60,6 +60,26 @@ def rmsnorm_init(dim: int, dtype=jnp.float32):
     return {"scale": jnp.ones((dim,), dtype)}
 
 
+def gemma_rmsnorm_init(dim: int, dtype=jnp.float32):
+    # Gemma convention: weight stored as zeros, applied as (1 + w)
+    return {"scale": jnp.zeros((dim,), dtype)}
+
+
+def gemma_rmsnorm(p, x, eps: float = 1e-6):
+    """ADETR RMSNorm (reference surya/common/adetr/decoder.py:23-50):
+    variance clamped to eps, (1 + w) scaling, output clamped to the input
+    dtype's range with NaNs zeroed."""
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.maximum(jnp.mean(jnp.square(xf), axis=-1, keepdims=True), eps)
+    y = xf * jax.lax.rsqrt(var)
+    y = y * (1.0 + p["scale"].astype(jnp.float32))
+    info = jnp.finfo(dt)
+    y = jnp.clip(y, float(info.min), float(info.max))
+    y = jnp.where(jnp.isnan(y), 0.0, y)
+    return y.astype(dt)
+
+
 def rmsnorm(p, x, eps: float = 1e-6):
     dt = x.dtype
     x = x.astype(jnp.float32)
