@@ -182,16 +182,25 @@ def prefill(params, config: ADETRConfig, cache, cross_k, cross_v, embeds, seq_le
     return cache, last[:, 0]
 
 
-def step(params, config: ADETRConfig, cache, cross_k, cross_v, embed, pos):
-    """One AR step. embed [B, h]; pos [B] current position (also KV write
-    row). Returns (cache, hidden [B, h])."""
+def step(params, config: ADETRConfig, cache, cross_k, cross_v, embed, pos, write_idx=None, seq_lens=None, prompt_len: int = 0):
+    """One AR step. embed [B, h]; pos [B] is the RoPE position. write_idx [B]
+    is the KV cache row (defaults to pos) — they differ when the prompt was
+    right-padded to a bucket: generated tokens then write at rows
+    >= prompt_len while their semantic position continues from seq_len, and
+    the garbage rows in [seq_len, prompt_len) are masked via seq_lens.
+    Returns (cache, hidden [B, h])."""
     B = embed.shape[0]
     S = cache["k"].shape[2]
+    if write_idx is None:
+        write_idx = pos
     cos, sin = _rope(config, pos.astype(jnp.float32)[:, None])
     cos, sin = cos[:, :, None, :], sin[:, :, None, :]
-    write_at = jnp.minimum(pos, S - 1)
+    write_at = jnp.minimum(write_idx, S - 1)
     key_rows = jnp.arange(S)[None, :]
-    bias = att.mask_to_bias((key_rows <= pos[:, None])[:, None, None, :])
+    key_ok = key_rows <= write_at[:, None]
+    if seq_lens is not None and prompt_len > 0:
+        key_ok &= ~((key_rows >= seq_lens[:, None]) & (key_rows < prompt_len))
+    bias = att.mask_to_bias(key_ok[:, None, None, :])
     rows = jnp.arange(B)
 
     x = embed[:, None, :]

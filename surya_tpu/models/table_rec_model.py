@@ -1,0 +1,260 @@
+"""Table structure recognition model: DonutSwin + ADETR multi-head decoder.
+
+Re-design of the reference table-rec stack (surya/table_rec/model/decoder.py:
+12-160, config :38-44). The decoder emits 10-component label vectors —
+bbox(6) + category + merges + colspan + is_header — embedded as concatenated
+box/property embeddings and read out through five per-property heads.
+
+The AR loop runs on device via lax.while_loop; prompts (query row / query +
+column context for the cell pass) are right-padded to a static bucket, with
+the padded rows masked out of decode attention (adetr.step's
+seq_lens/prompt_len). The reference steps from Python with a `.cpu()` sync
+per box (surya/table_rec/__init__.py:35-132).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from surya_tpu import nn
+from surya_tpu.models import adetr, donut_swin
+
+BOX_DIM = 1024
+SPECIAL_TOKENS = 5
+MERGE_KEYS = {"none": 0, "merge_up": 1, "merge_down": 2, "merge_both": 3}
+MERGE_VALUES = [MERGE_KEYS["merge_up"], MERGE_KEYS["merge_down"], MERGE_KEYS["merge_both"]]
+ID_TO_CATEGORY = {0: "Blank", 1: "Table-row", 2: "Table-column", 3: "Table-cell", 4: "Table"}
+CATEGORY_TO_ID = {v: k for k, v in ID_TO_CATEGORY.items()}
+ID_TO_HEADER = {0: "None", 1: "Header"}
+
+# (key, head output count pre-special-shift, mode) — reference BOX_PROPERTIES
+BOX_PROPERTIES = [
+    ("bbox", 6, "regression"),
+    ("category", len(ID_TO_CATEGORY), "classification"),
+    ("merges", len(MERGE_KEYS), "classification"),
+    ("colspan", 1, "regression"),
+    ("is_header", len(ID_TO_HEADER), "classification"),
+]
+VECTOR_DIM = 10  # 6 + 1 + 1 + 1 + 1
+
+
+@dataclass(frozen=True)
+class TableRecConfig:
+    vocab_size: int = BOX_DIM + 1
+    bbox_size: int = BOX_DIM
+    property_embed_size: int = 64
+    box_embed_size: int = 512 - 64
+    special_token_count: int = SPECIAL_TOKENS
+    pad_token_id: int = 0
+    eos_token_id: int = 1
+    bos_token_id: int = 1
+    query_end_token_id: int = 4
+    max_boxes: int = 150
+    layer_norm_eps: float = 1e-5
+    encoder: donut_swin.DonutSwinConfig = field(
+        default_factory=lambda: donut_swin.DonutSwinConfig(depths=(2, 2, 12, 2), encoder_length=1024)
+    )
+    decoder: adetr.ADETRConfig = field(
+        default_factory=lambda: adetr.ADETRConfig(
+            num_hidden_layers=6, hidden_size=512, intermediate_size=2048,
+            encoder_hidden_size=1024, num_attention_heads=8, num_key_value_heads=4,
+            double_residual_flow=False,
+            cross_attn_layers=tuple(range(10)), self_attn_layers=tuple(range(10)),
+        )
+    )
+
+
+_BOX_FIELDS = ("cx", "cy", "w", "h", "xskew", "yskew")
+_CORNER_FIELDS = ("x1", "y1", "x2", "y2", "x3", "y3", "x4", "y4")  # only x1,y1,x3,y3 used
+
+
+def init_params(config: TableRecConfig, key, dtype=jnp.float32):
+    ks = nn.key_iter(key)
+    embed = {
+        f"{f}_embed": nn.embedding_init(next(ks), config.vocab_size, config.box_embed_size, dtype=dtype)
+        for f in _BOX_FIELDS + _CORNER_FIELDS
+    }
+    embed["category_embed"] = nn.embedding_init(
+        next(ks), len(ID_TO_CATEGORY) + SPECIAL_TOKENS + SPECIAL_TOKENS, config.property_embed_size, dtype=dtype
+    )
+    embed["merge_embed"] = nn.embedding_init(
+        next(ks), len(MERGE_KEYS) + SPECIAL_TOKENS + SPECIAL_TOKENS, config.property_embed_size, dtype=dtype
+    )
+    embed["colspan_embed"] = nn.embedding_init(next(ks), config.vocab_size, config.property_embed_size, dtype=dtype)
+
+    heads = {}
+    for k, kcount, mode in BOX_PROPERTIES:
+        out = kcount + SPECIAL_TOKENS if mode == "classification" else kcount
+        heads[k] = nn.linear_init(next(ks), config.decoder.hidden_size, out, bias=False, dtype=dtype)
+
+    return {
+        "encoder": donut_swin.init_params(config.encoder, next(ks), dtype),
+        "decoder": adetr.init_params(config.decoder, next(ks), dtype),
+        "embedder": embed,
+        "pre_output_norm": nn.layernorm_init(config.decoder.hidden_size, dtype),
+        "heads": heads,
+    }
+
+
+def embed_labels(params, config: TableRecConfig, vectors: jnp.ndarray) -> jnp.ndarray:
+    """10-component label vector → concat(box embeds [448], property embeds
+    [64]) (reference LabelEmbedding: table_rec/model/decoder.py:12-76; only
+    corners x1, y1, x3, y3 are embedded)."""
+    e = params["embedder"]
+    v = jnp.clip(vectors.astype(jnp.int32), 0, config.vocab_size - 1)
+    cx, cy, w, h, xskew, yskew = [v[..., i] for i in range(6)]
+    category, merges, colspan = v[..., 6], v[..., 7], v[..., 8]
+
+    xs = jnp.trunc((xskew - config.bbox_size // 2) / 2).astype(jnp.int32)
+    ys = jnp.trunc((yskew - config.bbox_size // 2) / 2).astype(jnp.int32)
+    clamp = lambda x: jnp.clip(x, 0, config.bbox_size)
+    x1 = clamp(cx - w // 2 - xs)
+    y1 = clamp(cy - h // 2 - ys)
+    x3 = clamp(cx + w // 2 + xs)
+    y3 = clamp(cy + h // 2 + ys)
+
+    box = (
+        nn.embedding(e["w_embed"], w) + nn.embedding(e["h_embed"], h)
+        + nn.embedding(e["cx_embed"], cx) + nn.embedding(e["cy_embed"], cy)
+        + nn.embedding(e["xskew_embed"], xskew) + nn.embedding(e["yskew_embed"], yskew)
+        + nn.embedding(e["x1_embed"], x1) + nn.embedding(e["y1_embed"], y1)
+        + nn.embedding(e["x3_embed"], x3) + nn.embedding(e["y3_embed"], y3)
+    )
+    prop = (
+        nn.embedding(e["category_embed"], category)
+        + nn.embedding(e["merge_embed"], merges)
+        + nn.embedding(e["colspan_embed"], colspan)
+    )
+    return jnp.concatenate([box, prop], axis=-1)
+
+
+def _heads(params, config: TableRecConfig, hidden) -> Dict[str, jnp.ndarray]:
+    h = nn.layernorm(params["pre_output_norm"], hidden, eps=config.layer_norm_eps)
+    out = {}
+    for k, _, mode in BOX_PROPERTIES:
+        logits = nn.linear(params["heads"][k], h).astype(jnp.float32)
+        out[k] = jax.nn.sigmoid(logits) if k == "bbox" else logits
+    return out
+
+
+def encode(params, config: TableRecConfig, pixel_values: jnp.ndarray) -> jnp.ndarray:
+    return donut_swin.apply(params["encoder"], config.encoder, pixel_values)
+
+
+def generate(params, config: TableRecConfig, encoder_hidden, input_vectors, seq_lens, max_steps: int):
+    """AR decode for a batch of query prompts against (precomputed) encoder
+    states. input_vectors: [B, L, 10] right-padded; seq_lens [B].
+
+    Per step, mirrors the reference output processing (table_rec/__init__.py
+    :78-103): category/merges/is_header argmax shifted down by
+    SPECIAL_TOKENS, bbox sigmoid*1024, colspan round(clamp(min=1)); stop on
+    category EOS/PAD (pre-shift), done rows not recorded.
+
+    Returns dict of buffers: bbox [B, M, 6] f32, category/merges/is_header/
+    colspan [B, M] i32 (already shifted down), valid [B, M] bool.
+    """
+    B, L, _ = input_vectors.shape
+    cross_k, cross_v = adetr.precompute_cross_kv(params["decoder"], config.decoder, encoder_hidden)
+    cache = adetr.init_cache(config.decoder, B, L + max_steps + 1, encoder_hidden.dtype)
+
+    embeds = embed_labels(params, config, input_vectors)
+    cache, last_hidden = adetr.prefill(params["decoder"], config.decoder, cache, cross_k, cross_v, embeds, seq_lens)
+
+    bufs = {
+        "bbox": jnp.zeros((B, max_steps, 6), jnp.float32),
+        "category": jnp.zeros((B, max_steps), jnp.int32),
+        "merges": jnp.zeros((B, max_steps), jnp.int32),
+        "colspan": jnp.zeros((B, max_steps), jnp.int32),
+        "is_header": jnp.zeros((B, max_steps), jnp.int32),
+        "valid": jnp.zeros((B, max_steps), bool),
+    }
+    done = jnp.zeros((B,), bool)
+
+    def process(hidden, i, bufs, done, cache_unused=None):
+        out = _heads(params, config, hidden)
+        bbox = out["bbox"] * BOX_DIM
+        cat_raw = jnp.argmax(out["category"], axis=-1).astype(jnp.int32)
+        merges_raw = jnp.argmax(out["merges"], axis=-1).astype(jnp.int32)
+        header_raw = jnp.argmax(out["is_header"], axis=-1).astype(jnp.int32)
+        colspan = jnp.round(jnp.maximum(out["colspan"][..., 0], 1.0)).astype(jnp.int32)
+
+        newly_done = (cat_raw == config.eos_token_id) | (cat_raw == config.pad_token_id)
+        done_after = done | newly_done
+        record = ~done_after
+
+        bufs = dict(bufs)
+        bufs["bbox"] = bufs["bbox"].at[:, i].set(jnp.where(record[:, None], bbox, 0.0))
+        bufs["category"] = bufs["category"].at[:, i].set(jnp.where(record, cat_raw - SPECIAL_TOKENS, 0))
+        bufs["merges"] = bufs["merges"].at[:, i].set(jnp.where(record, merges_raw - SPECIAL_TOKENS, 0))
+        bufs["is_header"] = bufs["is_header"].at[:, i].set(jnp.where(record, header_raw - SPECIAL_TOKENS, 0))
+        bufs["colspan"] = bufs["colspan"].at[:, i].set(jnp.where(record, colspan, 0))
+        bufs["valid"] = bufs["valid"].at[:, i].set(record)
+
+        # next input vector (shaper.dict_to_labels: classification fields are
+        # re-shifted up, bbox truncated to ints and clamped)
+        bbox_i = jnp.clip(bbox, 0, BOX_DIM).astype(jnp.int32)
+        nxt = jnp.concatenate(
+            [
+                bbox_i,
+                cat_raw[:, None],  # (raw - SPECIAL) + SPECIAL
+                merges_raw[:, None],
+                colspan[:, None],
+                header_raw[:, None],
+            ],
+            axis=-1,
+        )
+        return bufs, done_after, nxt
+
+    bufs, done, next_vec = process(last_hidden, 0, bufs, done)
+
+    def cond(state):
+        i, _, _, done, _ = state
+        return (i < max_steps) & ~jnp.all(done)
+
+    def body(state):
+        i, cache, vec, done, bufs = state
+        emb = embed_labels(params, config, vec)
+        cache, hidden = adetr.step(
+            params["decoder"], config.decoder, cache, cross_k, cross_v, emb,
+            pos=seq_lens + i - 1,
+            write_idx=jnp.full((B,), L, jnp.int32) + i - 1,
+            seq_lens=seq_lens,
+            prompt_len=L,
+        )
+        bufs, done, next_vec = process(hidden, i, bufs, done)
+        return i + 1, cache, next_vec, done, bufs
+
+    state = (1, cache, next_vec, done, bufs)
+    _, _, _, _, bufs = jax.lax.while_loop(cond, body, state)
+    return bufs
+
+
+# -- checkpoint conversion ----------------------------------------------------
+
+def convert_torch(tensors, config: TableRecConfig, dtype=jnp.float32):
+    from surya_tpu.common.weights import TensorBag
+
+    bag = tensors if isinstance(tensors, TensorBag) else TensorBag(tensors, dtype)
+    embed = {
+        f"{f}_embed": bag.embedding(f"decoder.model.embed_tokens.{f}_embed")
+        for f in _BOX_FIELDS + _CORNER_FIELDS
+    }
+    embed["category_embed"] = bag.embedding("decoder.model.embed_tokens.category_embed")
+    embed["merge_embed"] = bag.embedding("decoder.model.embed_tokens.merge_embed")
+    embed["colspan_embed"] = bag.embedding("decoder.model.embed_tokens.colspan_embed")
+    heads = {
+        k: bag.linear(f"decoder.box_property_heads.{k}", bias=False) for k, _, _ in BOX_PROPERTIES
+    }
+    params = {
+        "encoder": donut_swin.convert_torch(bag, config.encoder, "encoder"),
+        "decoder": adetr.convert_torch(bag, config.decoder, "decoder.model"),
+        "embedder": embed,
+        "pre_output_norm": bag.layernorm("decoder.pre_output_norm"),
+        "heads": heads,
+    }
+    bag.warn_unused("table_rec")
+    return params

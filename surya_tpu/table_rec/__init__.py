@@ -1,0 +1,341 @@
+"""Table structure recognition predictor.
+
+Two-pass decode (reference: surya/table_rec/__init__.py:21-387):
+  pass 1 — query = whole-table box → rows + columns
+  pass 2 — per-row queries with the batch's column labels as context → cells
+followed by host-side grid assembly (row x col intersection cells, spanning
+-cell matching, rowspan merging).
+
+TPU re-design: the Swin encode and each AR pass are single jitted programs
+(lax.while_loop decode with right-padded prompt buckets); the reference syncs
+every box to CPU (:98-103).
+"""
+
+from __future__ import annotations
+
+from copy import deepcopy
+from itertools import chain
+from typing import List, Optional
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+from tqdm import tqdm
+
+from surya_tpu.common.polygon import PolygonBox
+from surya_tpu.common.predictor import BasePredictor
+from surya_tpu.models import table_rec_model
+from surya_tpu.models.table_rec_model import (
+    BOX_DIM,
+    CATEGORY_TO_ID,
+    MERGE_KEYS,
+    MERGE_VALUES,
+)
+from surya_tpu.settings import settings
+from surya_tpu.table_rec.loader import load_table_rec_model
+from surya_tpu.table_rec.schema import TableCell, TableCol, TableResult, TableRow
+from surya_tpu.table_rec.shaper import LabelShaper
+
+IMAGE_MEAN = 0.5
+IMAGE_STD = 0.5
+PROMPT_BUCKETS = (4, 8, 16, 32, 64, 128)
+
+
+def resize_polygon(polygon, orig_size, new_size):
+    """Scale + clamp a polygon between coordinate spaces (reference
+    table_rec/processor.py:29-46)."""
+    sx = new_size[0] / orig_size[0]
+    sy = new_size[1] / orig_size[1]
+    for corner in polygon:
+        corner[0] = min(max(corner[0] * sx, 0), new_size[0])
+        corner[1] = min(max(corner[1] * sy, 0), new_size[1])
+    return polygon
+
+
+class TableRecPredictor(BasePredictor):
+    batch_size = settings.TABLE_REC_BATCH_SIZE
+    default_batch_sizes = {"cpu": 8, "tpu": 16}
+
+    def __init__(self, checkpoint: Optional[str] = None, tiny: bool = False):
+        self._tiny = tiny
+        super().__init__(checkpoint)
+
+    def _load(self, checkpoint: Optional[str]):
+        self.params, self.config = load_table_rec_model(checkpoint, tiny=self._tiny)
+        self.shaper = LabelShaper()
+        cfg = self.config
+
+        @jax.jit
+        def encode(params, pixels_u8):
+            x = pixels_u8.astype(settings.MODEL_DTYPE) / 255.0
+            x = (x - IMAGE_MEAN) / IMAGE_STD
+            return table_rec_model.encode(params, cfg, x)
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("max_steps",))
+        def generate(params, enc_states, input_vectors, seq_lens, max_steps):
+            return table_rec_model.generate(params, cfg, enc_states, input_vectors, seq_lens, max_steps)
+
+        self._encode = encode
+        self._generate = generate
+
+    def prepare_image(self, img: Image.Image) -> np.ndarray:
+        size = self.config.encoder.image_size
+        return cv2.resize(np.asarray(img, np.uint8), (size[1], size[0]), interpolation=cv2.INTER_LANCZOS4)
+
+    # -- decode passes -------------------------------------------------------
+
+    def _build_query_vectors(self, query_items: List[dict], columns: Optional[List[dict]] = None) -> np.ndarray:
+        """[bos row, query label, query-end row] (+ column labels for the
+        cell pass) — reference table_rec/processor.py:47-93."""
+        cfg = self.config
+        query_items = self.shaper.convert_polygons_to_bboxes(deepcopy(query_items))
+        labels = self.shaper.dict_to_labels(query_items)
+        dim = len(labels[0])
+        rows = []
+        for label in labels:
+            seq = [[cfg.bos_token_id] * dim, label, [cfg.query_end_token_id] * dim]
+            rows.append(seq)
+        if columns:
+            col_labels = self.shaper.dict_to_labels(
+                self.shaper.convert_polygons_to_bboxes(deepcopy(columns))
+            )
+            for seq in rows:
+                seq += col_labels
+        return np.asarray(rows, np.float32).astype(np.int32)
+
+    def _run_pass(self, enc_states: np.ndarray, vectors: np.ndarray, batch_size: int) -> List[List[dict]]:
+        """Run one AR pass; returns per-row lists of property dicts."""
+        n, L = vectors.shape[:2]
+        L_bucket = next((b for b in PROMPT_BUCKETS if b >= L), None)
+        if L_bucket is None:
+            raise ValueError(f"prompt length {L} exceeds buckets {PROMPT_BUCKETS}")
+
+        vec_pad = np.zeros((batch_size, L_bucket, vectors.shape[2]), np.int32)
+        vec_pad[:n, :L] = vectors
+        enc_pad = self.pad_to_batch_size(enc_states, batch_size)
+        seq_lens = np.full((batch_size,), L, np.int32)
+
+        bufs = self._generate(
+            self.params, jnp.asarray(enc_pad), jnp.asarray(vec_pad), jnp.asarray(seq_lens),
+            max_steps=self.config.max_boxes,
+        )
+        bufs = {k: np.asarray(v)[:n] for k, v in bufs.items()}
+
+        predictions: List[List[dict]] = []
+        for j in range(n):
+            preds = []
+            for i in range(bufs["valid"].shape[1]):
+                if not bufs["valid"][j, i]:
+                    continue
+                preds.append(
+                    {
+                        "bbox": bufs["bbox"][j, i].tolist(),
+                        "category": int(bufs["category"][j, i]),
+                        "merges": int(bufs["merges"][j, i]),
+                        "colspan": int(bufs["colspan"][j, i]),
+                        "is_header": int(bufs["is_header"][j, i]),
+                    }
+                )
+            predictions.append(preds)
+        return predictions
+
+    # -- public API ----------------------------------------------------------
+
+    def __call__(self, images: List[Image.Image], batch_size: Optional[int] = None) -> List[TableResult]:
+        return self.batch_table_recognition(images, batch_size)
+
+    def batch_table_recognition(self, images: List[Image.Image], batch_size=None) -> List[TableResult]:
+        assert all(isinstance(im, Image.Image) for im in images)
+        if batch_size is None:
+            batch_size = self.get_batch_size()
+        if len(images) == 0:
+            return []
+
+        query_items = [
+            {
+                "polygon": [[0, 0], [im.width, 0], [im.width, im.height], [0, im.height]],
+                "category": CATEGORY_TO_ID["Table"],
+                "colspan": 0,
+                "merges": 0,
+                "is_header": 0,
+            }
+            for im in images
+        ]
+
+        results = []
+        for i in tqdm(
+            range(0, len(images), batch_size), desc="Recognizing tables", disable=self.disable_tqdm
+        ):
+            batch_images = [im.convert("RGB") for im in images[i : i + batch_size]]
+            batch_query_items = deepcopy(query_items[i : i + batch_size])
+            orig_sizes = [im.size for im in batch_images]
+            current = len(batch_images)
+
+            for im, q in zip(batch_images, batch_query_items):
+                q["polygon"] = resize_polygon(q["polygon"], im.size, (BOX_DIM, BOX_DIM))
+
+            pixels = np.stack([self.prepare_image(im) for im in batch_images])
+            pixels = self.pad_to_batch_size(pixels, batch_size)
+            enc_states = np.asarray(self._encode(self.params, jnp.asarray(pixels)))[:current]
+
+            vectors = self._build_query_vectors(batch_query_items)
+            rowcol_predictions = self._run_pass(enc_states, vectors, batch_size)
+
+            # collect row queries + the batch's columns (reference appends ALL
+            # batch columns as context to every row query: :196-231)
+            row_query_items, row_enc, idx_map, columns = [], [], [], []
+            for j, img_preds in enumerate(rowcol_predictions):
+                for pred in img_preds:
+                    polygon = self.shaper.convert_bbox_to_polygon(pred["bbox"])
+                    item = {
+                        "polygon": polygon,
+                        "category": pred["category"],
+                        "colspan": 0,
+                        "merges": 0,
+                        "is_header": int(pred["is_header"] == 1),
+                    }
+                    if pred["category"] == CATEGORY_TO_ID["Table-row"]:
+                        row_query_items.append(item)
+                        row_enc.append(enc_states[j])
+                        idx_map.append(j)
+                    elif pred["category"] == CATEGORY_TO_ID["Table-column"]:
+                        columns.append(item)
+
+            cell_predictions = []
+            if row_query_items:
+                row_vectors = self._build_query_vectors(row_query_items, columns=columns)
+                row_enc = np.stack(row_enc)
+                for j in range(0, len(row_vectors), batch_size):
+                    cell_predictions.extend(
+                        self._run_pass(row_enc[j : j + batch_size], row_vectors[j : j + batch_size], batch_size)
+                    )
+
+            results.extend(
+                self.decode_batch_predictions(rowcol_predictions, cell_predictions, orig_sizes, idx_map)
+            )
+
+        return results
+
+    # -- grid assembly (host; reference :239-387) ---------------------------
+
+    def decode_batch_predictions(self, rowcol_predictions, cell_predictions, orig_sizes, idx_map):
+        results = []
+        for j, (img_predictions, orig_size) in enumerate(zip(rowcol_predictions, orig_sizes)):
+            row_cell_predictions = [c for i, c in enumerate(cell_predictions) if idx_map[i] == j]
+            rows, cells, columns = [], [], []
+            cell_id = 0
+            row_preds = [p for p in img_predictions if p["category"] == CATEGORY_TO_ID["Table-row"]]
+            col_preds = [p for p in img_predictions if p["category"] == CATEGORY_TO_ID["Table-column"]]
+
+            for z, col_pred in enumerate(col_preds):
+                polygon = self.shaper.convert_bbox_to_polygon(col_pred["bbox"])
+                polygon = resize_polygon(polygon, (BOX_DIM, BOX_DIM), orig_size)
+                columns.append(TableCol(polygon=polygon, col_id=z, is_header=col_pred["is_header"] == 1))
+
+            for z, row_pred in enumerate(row_preds):
+                polygon = self.shaper.convert_bbox_to_polygon(row_pred["bbox"])
+                polygon = resize_polygon(polygon, (BOX_DIM, BOX_DIM), orig_size)
+                row = TableRow(polygon=polygon, row_id=z, is_header=row_pred["is_header"] == 1)
+                rows.append(row)
+
+                spanning_cells = []
+                cell_preds = row_cell_predictions[z] if z < len(row_cell_predictions) else []
+                for l, spanning_cell in enumerate(cell_preds):
+                    polygon = self.shaper.convert_bbox_to_polygon(spanning_cell["bbox"])
+                    polygon = resize_polygon(polygon, (BOX_DIM, BOX_DIM), orig_size)
+                    colspan = max(1, int(spanning_cell["colspan"]))
+                    if colspan == 1 and spanning_cell["merges"] not in MERGE_VALUES:
+                        continue
+                    if PolygonBox(polygon=polygon).height < row.height * 0.85:
+                        continue
+                    spanning_cells.append(
+                        TableCell(
+                            polygon=polygon,
+                            row_id=z,
+                            rowspan=1,
+                            cell_id=cell_id,
+                            within_row_id=l,
+                            colspan=colspan,
+                            merge_up=spanning_cell["merges"] in (MERGE_KEYS["merge_up"], MERGE_KEYS["merge_both"]),
+                            merge_down=spanning_cell["merges"] in (MERGE_KEYS["merge_down"], MERGE_KEYS["merge_both"]),
+                            is_header=row.is_header or z == 0,
+                        )
+                    )
+                    cell_id += 1
+
+                used_spanning = set()
+                skip_columns = 0
+                for l, col in enumerate(columns):
+                    if skip_columns:
+                        skip_columns -= 1
+                        continue
+                    cell_polygon = row.intersection_polygon(col)
+                    cell_added = False
+                    for zz, spanning_cell in enumerate(spanning_cells):
+                        pct = PolygonBox(polygon=cell_polygon).intersection_pct(spanning_cell)
+                        correct_col_width = sum(c.width for c in columns[l : l + spanning_cell.colspan])
+                        if pct > 0.9:
+                            if spanning_cell.width > correct_col_width * 0.85:
+                                cell_added = True
+                                if zz not in used_spanning:
+                                    used_spanning.add(zz)
+                                    spanning_cell.col_id = l
+                                    cells.append(spanning_cell)
+                                    skip_columns = spanning_cell.colspan - 1
+                            else:
+                                used_spanning.add(zz)
+                    if not cell_added:
+                        cells.append(
+                            TableCell(
+                                polygon=cell_polygon,
+                                row_id=z,
+                                rowspan=1,
+                                cell_id=cell_id,
+                                within_row_id=l,
+                                colspan=1,
+                                merge_up=False,
+                                merge_down=False,
+                                col_id=l,
+                                is_header=row.is_header or col.is_header or z == 0,
+                            )
+                        )
+                        cell_id += 1
+
+            # rowspan merging across consecutive rows
+            grid_cells = deepcopy([[c for c in cells if c.row_id == row.row_id] for row in rows])
+            for z, grid_row in enumerate(grid_cells[1:]):
+                prev_row = grid_cells[z]
+                for l, cell in enumerate(grid_row):
+                    if l >= len(prev_row):
+                        continue
+                    above = prev_row[l]
+                    if (
+                        above.merge_down
+                        and cell.merge_up
+                        and above.col_id == cell.col_id
+                        and above.colspan == cell.colspan
+                    ):
+                        above.merge(cell)
+                        above.rowspan += cell.rowspan
+                        grid_row[l] = above
+
+            merged, used_ids = [], set()
+            for cell in chain.from_iterable(grid_cells):
+                if cell.cell_id not in used_ids:
+                    used_ids.add(cell.cell_id)
+                    merged.append(cell)
+
+            results.append(
+                TableResult(
+                    cells=merged,
+                    unmerged_cells=cells,
+                    rows=rows,
+                    cols=columns,
+                    image_bbox=[0, 0, orig_size[0], orig_size[1]],
+                )
+            )
+        return results

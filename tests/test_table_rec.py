@@ -1,0 +1,64 @@
+"""Table-rec predictor e2e tests (tiny random model; pipeline mechanics —
+mirroring reference tests/test_table_rec.py structure)."""
+
+import pytest
+from PIL import Image, ImageDraw
+
+from surya_tpu.table_rec.schema import TableResult
+
+
+@pytest.fixture(scope="module")
+def table_rec_predictor():
+    from surya_tpu.table_rec import TableRecPredictor
+
+    pred = TableRecPredictor(tiny=True)
+    pred.batch_size = 2
+    return pred
+
+
+@pytest.fixture()
+def table_image():
+    image = Image.new("RGB", (512, 512), "white")
+    draw = ImageDraw.Draw(image)
+    for i in range(4):
+        for j in range(3):
+            draw.rectangle((j * 170 + 5, i * 120 + 5, (j + 1) * 170 - 5, (i + 1) * 120 - 5), outline="black")
+            draw.text((j * 170 + 20, i * 120 + 40), f"r{i}c{j}", fill="black")
+    return image
+
+
+def test_table_rec_schema(table_rec_predictor, table_image):
+    results = table_rec_predictor([table_image])
+    assert len(results) == 1
+    assert isinstance(results[0], TableResult)
+    assert results[0].image_bbox == [0, 0, 512, 512]
+    # grid consistency: every merged cell indexes a valid row
+    row_ids = {r.row_id for r in results[0].rows}
+    for cell in results[0].cells:
+        assert cell.row_id in row_ids
+
+
+def test_table_rec_empty(table_rec_predictor):
+    assert table_rec_predictor([]) == []
+
+
+def test_shaper_roundtrip():
+    from surya_tpu.table_rec.shaper import LabelShaper
+
+    shaper = LabelShaper()
+    comp = [{
+        "polygon": [[10, 10], [500, 10], [500, 300], [10, 300]],
+        "category": 4, "colspan": 0, "merges": 0, "is_header": 0,
+    }]
+    out = shaper.convert_polygons_to_bboxes(comp)
+    bbox = out[0]["bbox"]
+    assert bbox[0] == pytest.approx(255.0)  # cx
+    assert bbox[2] == pytest.approx(490.0)  # width
+    assert bbox[4] == pytest.approx(512.0)  # no skew
+    poly = shaper.convert_bbox_to_polygon(bbox)
+    assert poly[0][0] == pytest.approx(10.0)
+    assert poly[2][1] == pytest.approx(300.0)
+
+    labels = shaper.dict_to_labels(out)
+    assert len(labels[0]) == 10
+    assert labels[0][6] == 4 + 5  # category shifted by special tokens
