@@ -1,0 +1,73 @@
+"""End-of-round benchmark: full detection+recognition OCR pages/sec on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: reference Surya does 0.62 s/page (1.61 pages/s) for full OCR on an
+A6000 (BASELINE.md). Checkpoints aren't downloadable in this environment, so
+the bench runs the production-size models with random weights and a fixed
+realistic workload shape: 40 text lines per page, 64 decoded tokens per line
+(a typical English line is ~50 chars ≈ 50 UTF-16 tokens; the real model stops
+at EOS, random weights are capped by RECOGNITION_MAX_TOKENS).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("ALLOW_RANDOM_WEIGHTS", "true")
+os.environ.setdefault("RECOGNITION_MAX_TOKENS", "64")
+os.environ.setdefault("DISABLE_TQDM", "true")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_PAGES = 16
+LINES_PER_PAGE = 40
+BASELINE_PAGES_PER_SEC = 1.0 / 0.62  # A6000, README.md:364-367
+
+
+def build_page(width=1240, height=1754):
+    from PIL import Image, ImageDraw
+
+    img = Image.new("RGB", (width, height), "white")
+    draw = ImageDraw.Draw(img)
+    for i in range(LINES_PER_PAGE):
+        draw.text((60, 40 + i * 42), f"Line {i}: the quick brown fox jumps over the lazy dog.", fill="black", font_size=22)
+    return img
+
+
+def main():
+    from surya_tpu.detection import DetectionPredictor
+    from surya_tpu.recognition import RecognitionPredictor
+
+    pages = [build_page() for _ in range(N_PAGES)]
+    bboxes = [[[50, 35 + i * 42, 1000, 78 + i * 42] for i in range(LINES_PER_PAGE)] for _ in range(N_PAGES)]
+
+    det = DetectionPredictor()
+    rec = RecognitionPredictor()
+
+    # warmup / compile with the full workload shape (compiles every bucket
+    # the timed run will hit; no cross-process compile cache on this backend)
+    det(pages)
+    rec(pages, bboxes=bboxes)
+
+    t0 = time.time()
+    det(pages)
+    rec(pages, bboxes=bboxes)
+    elapsed = time.time() - t0
+
+    pages_per_sec = N_PAGES / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "full_ocr_pages_per_sec",
+                "value": round(pages_per_sec, 4),
+                "unit": "pages/s (detect + recognize, 1 chip)",
+                "vs_baseline": round(pages_per_sec / BASELINE_PAGES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -85,11 +85,12 @@ def embed_prompt_tokens(params, config: FoundationConfig, input_ids, img_gather,
     return jnp.where((img_gather >= 0)[..., None], img.astype(tok.dtype), tok)
 
 
-def encode_images(params, config: FoundationConfig, patches, patch_gather, pos_hw, seg_id, unscatter, llm_h_idx, llm_w_idx):
+def encode_images(params, config: FoundationConfig, patches, patch_gather, pos_hw, seg_id, unscatter, llm_h_idx, llm_w_idx, kv_starts=None, kv_range: int = 0):
     """Vision encoder + 2-D learned position embeddings → image tokens
     [llm_cap, hidden] in original order."""
     img_tokens = qwen_encoder.apply(
-        params["vision_encoder"], config.encoder, patches, patch_gather, pos_hw, seg_id, unscatter
+        params["vision_encoder"], config.encoder, patches, patch_gather, pos_hw, seg_id, unscatter,
+        kv_starts=kv_starts, kv_range=kv_range,
     )
     enc2d = nn.embedding(params["img_h_embed"], llm_h_idx) + nn.embedding(params["img_w_embed"], llm_w_idx)
     return img_tokens + enc2d
@@ -110,13 +111,16 @@ def prefill(
     img_gather,
     seq_lens,
     slot_idx,
+    kv_starts=None,
+    kv_range: int = 0,
 ):
     """Fused prefill: encode images, build the mixed embedding sequence,
     run the decoder prefill, scatter KV into cache slots, sample token 0.
 
     Returns (new_cache, token [B], score [B], bbox [B, 6])."""
     image_tokens = encode_images(
-        params, config, patches, patch_gather, pos_hw, seg_id, unscatter, llm_h_idx, llm_w_idx
+        params, config, patches, patch_gather, pos_hw, seg_id, unscatter, llm_h_idx, llm_w_idx,
+        kv_starts=kv_starts, kv_range=kv_range,
     )
     embeds = embed_prompt_tokens(params, config, input_ids, img_gather, image_tokens)
     new_k, new_v, last_hidden = qwen_decoder.prefill(params["decoder"], config.decoder, embeds, seq_lens)
@@ -142,32 +146,46 @@ def decode_chunk(
     """
     B = last_token.shape[0]
     K = num_steps
+    dec = config.decoder
     tokens_buf = jnp.full((B, K), config.pad_token_id, jnp.int32)
     scores_buf = jnp.zeros((B, K), jnp.float32)
     bbox_buf = jnp.zeros((B, K, 6), jnp.int32)
 
+    # the big cache stays READ-ONLY inside the loop; new KV accumulates in a
+    # small chunk buffer and is committed once at the end (qwen_decoder
+    # .decode_step_chunked) — per-step writes to the full cache would copy it
+    # every iteration of the while_loop
+    kv_shape = (dec.num_hidden_layers, B, K, dec.num_key_value_heads, dec.head_dim)
+    chunk_k = jnp.zeros(kv_shape, cache["k"].dtype)
+    chunk_v = jnp.zeros(kv_shape, cache["k"].dtype)
+    base_len = cache["len"]
+    advance = jnp.zeros((B,), jnp.int32)
+
     def cond(state):
-        step, _, _, active, *_ = state
+        step, active = state[0], state[5]
         return (step < K) & jnp.any(active)
 
     def body(state):
-        step, cache, last_token, active, tokens_buf, scores_buf, bbox_buf = state
+        step, chunk_k, chunk_v, advance, last_token, active, tokens_buf, scores_buf, bbox_buf = state
         emb = nn.embedding(params["token_embed"], last_token)
-        cache, hidden = qwen_decoder.decode_step(params["decoder"], config.decoder, cache, emb, advance=active)
+        chunk_k, chunk_v, hidden = qwen_decoder.decode_step_chunked(
+            params["decoder"], dec, cache, chunk_k, chunk_v, emb, step, base_len
+        )
         token, score, bbox = _sample_greedy(params, config, hidden)
 
         emitted_done = (token == config.eos_token_id) | (token == config.pad_token_id)
-        # record emissions for active slots only
         tokens_buf = tokens_buf.at[:, step].set(jnp.where(active, token, config.pad_token_id))
         scores_buf = scores_buf.at[:, step].set(jnp.where(active, jnp.where(emitted_done, 0.0, score), 0.0))
         bbox_buf = bbox_buf.at[:, step].set(jnp.where(active[:, None], bbox, 0))
 
+        advance = advance + active.astype(jnp.int32)
         next_active = active & ~emitted_done
         next_token = jnp.where(next_active, token, config.pad_token_id)
-        return step + 1, cache, next_token, next_active, tokens_buf, scores_buf, bbox_buf
+        return step + 1, chunk_k, chunk_v, advance, next_token, next_active, tokens_buf, scores_buf, bbox_buf
 
-    state = (0, cache, last_token, active, tokens_buf, scores_buf, bbox_buf)
-    _, cache, last_token, active, tokens_buf, scores_buf, bbox_buf = jax.lax.while_loop(cond, body, state)
+    state = (0, chunk_k, chunk_v, advance, last_token, active, tokens_buf, scores_buf, bbox_buf)
+    _, chunk_k, chunk_v, advance, last_token, active, tokens_buf, scores_buf, bbox_buf = jax.lax.while_loop(cond, body, state)
+    cache = qwen_decoder.commit_chunk(cache, chunk_k, chunk_v, base_len, advance)
     return cache, tokens_buf, scores_buf, bbox_buf, last_token, active
 
 

@@ -137,6 +137,69 @@ def merge_prefill(cache: dict, new_k, new_v, seq_lens, slot_idx):
     return {"k": k, "v": v, "len": length}
 
 
+def decode_step_chunked(
+    params,
+    config: DecoderConfig,
+    cache: dict,
+    chunk_k: jnp.ndarray,  # [layers, B, K, kvh, hd] — this chunk's KV buffer
+    chunk_v: jnp.ndarray,
+    embeds: jnp.ndarray,  # [B, hidden]
+    step: jnp.ndarray,  # scalar: index within the chunk
+    base_len: jnp.ndarray,  # [B] cache length at chunk start (frozen)
+):
+    """One decode token with the big cache READ-ONLY.
+
+    New KV lands in the small chunk buffer at column `step` (a dynamic-update
+    -slice, identical index for every row). Attention merges two pieces by
+    log-sum-exp: the frozen cache (rows < base_len) and the chunk buffer
+    (cols <= step). Writing the big [layers, slots, max_seq] cache per step
+    costs a full-array copy per layer inside lax.while_loop — this layout
+    makes the hot loop write only the K-column buffer; the caller commits the
+    chunk to the cache once at the end (commit_chunk).
+
+    Returns (chunk_k, chunk_v, hidden [B, hidden]).
+    """
+    B = embeds.shape[0]
+    K = chunk_k.shape[2]
+    S = cache["k"].shape[2]
+    pos = base_len + step
+    cos, sin = _rope_cos_sin(config, pos.astype(jnp.float32)[:, None])
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+
+    cache_bias = att.mask_to_bias((jnp.arange(S)[None, :] < base_len[:, None])[:, None, None, :])
+    chunk_bias = att.mask_to_bias((jnp.arange(K)[None, :] <= step)[:, None, None, :])
+
+    x = embeds[:, None, :]
+    for li, layer in enumerate(params["layers"]):
+        h = nn.rmsnorm(layer["input_layernorm"], x, eps=config.rms_norm_eps)
+        q, k, v = _proj_qkv(layer["self_attn"], h, config)
+        q, k = att.apply_rope(q, k, cos, sin)
+        chunk_k = chunk_k.at[li, :, step].set(k[:, 0])
+        chunk_v = chunk_v.at[li, :, step].set(v[:, 0])
+        out = att.sdpa_two_piece(
+            q, cache["k"][li], cache["v"][li], cache_bias, chunk_k[li], chunk_v[li], chunk_bias
+        )
+        x = x + nn.linear(layer["self_attn"]["o_proj"], out.reshape(B, 1, -1))
+        x = x + _mlp(layer["mlp"], nn.rmsnorm(layer["post_attention_layernorm"], x, eps=config.rms_norm_eps))
+
+    x = nn.rmsnorm(params["norm"], x, eps=config.rms_norm_eps)
+    return chunk_k, chunk_v, x[:, 0]
+
+
+def commit_chunk(cache: dict, chunk_k, chunk_v, base_len, advance):
+    """Scatter a finished chunk's KV into the slot cache at rows
+    [base_len, base_len + K) per slot and advance the lengths by each slot's
+    active-step count. Garbage columns (steps after a slot finished) land
+    beyond the new length and stay masked."""
+    K = chunk_k.shape[2]
+    S = cache["k"].shape[2]
+    rows = jnp.arange(cache["k"].shape[1])[:, None]
+    cols = jnp.minimum(base_len[:, None] + jnp.arange(K)[None, :], S - 1)
+    k = cache["k"].at[:, rows, cols].set(chunk_k)
+    v = cache["v"].at[:, rows, cols].set(chunk_v)
+    return {"k": k, "v": v, "len": cache["len"] + advance.astype(jnp.int32)}
+
+
 def decode_step(params, config: DecoderConfig, cache: dict, embeds: jnp.ndarray, advance: jnp.ndarray):
     """One decode token for every slot.
 

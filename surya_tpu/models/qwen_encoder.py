@@ -75,6 +75,9 @@ class EncoderConfig:
         return self.window_cells**2 * self.merge_unit
 
 
+FULL_ATTN_Q_CHUNK = 128  # rows per full-attention query chunk
+
+
 @dataclass
 class EncoderLayout:
     """Host-computed static-shape layout plan for one packed batch.
@@ -93,6 +96,8 @@ class EncoderLayout:
     llm_h_idx: np.ndarray  # [llm_cap] row index for 2D learned embedding
     llm_w_idx: np.ndarray  # [llm_cap] col index for 2D learned embedding
     tokens_per_image: List[int]
+    kv_starts: np.ndarray  # [cap // Q_CHUNK] KV window start per query chunk
+    kv_range: int  # static KV window length covering any chunk's images
 
 
 def plan_layout(
@@ -182,6 +187,43 @@ def plan_layout(
     llm_h_idx[:n_llm] = h_idx
     llm_w_idx[:n_llm] = w_idx
 
+    # Full attention is per image, and images occupy CONTIGUOUS window-order
+    # slot runs — so each fixed query chunk only needs the contiguous KV
+    # window spanning the images it touches. Host-plan those windows; the
+    # device then does O(cap * kv_range) work instead of O(cap^2)
+    # (the TPU replacement for varlen flash attention's cu_seqlens).
+    slot_image_start = np.zeros(cap, np.int64)
+    slot_image_end = np.full(cap, cap, np.int64)
+    run_start = 0
+    prev = None
+    bounds = []
+    seg_arr = seg_id.astype(np.int64)
+    # image runs: consecutive slots whose seg >= 0 share the image id; pads
+    # attach to their own block so fully-padded chunks self-attend harmlessly
+    for idx in range(cap):
+        cur = seg_arr[idx]
+        if prev is None or cur != prev:
+            if prev is not None:
+                bounds.append((run_start, idx))
+            run_start = idx
+            prev = cur
+    bounds.append((run_start, cap))
+    for lo, hi in bounds:
+        slot_image_start[lo:hi] = lo
+        slot_image_end[lo:hi] = hi
+
+    BQ = FULL_ATTN_Q_CHUNK
+    n_chunks = cap // BQ
+    kv_starts = np.zeros(n_chunks, np.int32)
+    kv_range = BQ
+    for ci in range(n_chunks):
+        lo = int(slot_image_start[ci * BQ])
+        hi = int(slot_image_end[min(ci * BQ + BQ, cap) - 1])
+        kv_starts[ci] = lo
+        kv_range = max(kv_range, hi - lo)
+    kv_range = min(cap, -(-kv_range // 512) * 512)
+    kv_starts = np.minimum(kv_starts, cap - kv_range).astype(np.int32)
+
     return EncoderLayout(
         cap=cap,
         n_patches=raw_base,
@@ -193,6 +235,8 @@ def plan_layout(
         llm_h_idx=llm_h_idx,
         llm_w_idx=llm_w_idx,
         tokens_per_image=tokens_per_image,
+        kv_starts=kv_starts,
+        kv_range=kv_range,
     )
 
 
@@ -268,44 +312,53 @@ def _window_attention(p, x, cos, sin, win_bias, config: EncoderConfig):
     return nn.linear(p["proj"], out).reshape(x.shape)
 
 
-def _full_attention(p, x, cos, sin, seg_id, config: EncoderConfig, q_chunk: int = 512):
-    """Per-image full attention over the flat window-order sequence, computed
-    in query chunks with a segment mask (TPU replacement for the reference's
-    varlen flash attention at full-attn blocks 3 & 7)."""
+def _full_attention(p, x, cos, sin, seg_id, kv_starts, kv_range: int, config: EncoderConfig):
+    """Per-image full attention over the flat window-order sequence. Each
+    fixed query chunk attends only its host-planned contiguous KV window
+    (images are contiguous slot runs), masked by segment id inside the window
+    — O(cap * kv_range) instead of O(cap^2). TPU replacement for the
+    reference's varlen flash attention at full-attn blocks 3 & 7."""
     cap = x.shape[0]
     q, k, v = _qkv(p, x[None], config.num_heads, config.head_dim)
     q, k = att.apply_rope(q, k, cos[None, :, None, :], sin[None, :, None, :])
     q, k, v = q[0], k[0], v[0]  # [cap, H, D]
     scale = config.head_dim**-0.5
 
-    q_chunk = min(q_chunk, cap)
-    while cap % q_chunk:
-        q_chunk //= 2
+    q_chunk = min(FULL_ATTN_Q_CHUNK, cap)
+    kv_range = min(kv_range, cap)
     n_chunks = cap // q_chunk
 
     def chunk_fn(ci):
         qs = jax.lax.dynamic_slice_in_dim(q, ci * q_chunk, q_chunk, axis=0)
         seg_q = jax.lax.dynamic_slice_in_dim(seg_id, ci * q_chunk, q_chunk, axis=0)
-        logits = jnp.einsum("qhd,khd->hqk", qs, k).astype(jnp.float32) * scale
-        mask = seg_q[:, None] == seg_id[None, :]
+        start = kv_starts[ci]
+        ks = jax.lax.dynamic_slice_in_dim(k, start, kv_range, axis=0)
+        vs = jax.lax.dynamic_slice_in_dim(v, start, kv_range, axis=0)
+        seg_k = jax.lax.dynamic_slice_in_dim(seg_id, start, kv_range, axis=0)
+        logits = jnp.einsum("qhd,khd->hqk", qs, ks).astype(jnp.float32) * scale
+        mask = seg_q[:, None] == seg_k[None, :]
         logits = jnp.where(mask[None], logits, att.NEG_INF)
         probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        return jnp.einsum("hqk,khd->qhd", probs, v)
+        return jnp.einsum("hqk,khd->qhd", probs, vs)
 
     out = jax.lax.map(chunk_fn, jnp.arange(n_chunks))
     out = out.reshape(cap, config.hidden_size)
     return nn.linear(p["proj"], out)
 
 
-def apply(params, config: EncoderConfig, patches, patch_gather, pos_hw, seg_id, unscatter):
+def apply(params, config: EncoderConfig, patches, patch_gather, pos_hw, seg_id, unscatter, kv_starts=None, kv_range: int = 0):
     """Encode a packed batch of image patches.
 
     patches: [cap, patch_dim] raw-order flattened patches (zero padded)
-    patch_gather/pos_hw/seg_id/unscatter: from plan_layout (device arrays)
+    patch_gather/pos_hw/seg_id/unscatter/kv_starts: from plan_layout (device
+    arrays); kv_range: the plan's static full-attention window (0 = whole cap)
     Returns merged image tokens [cap // merge_unit, out_hidden] in ORIGINAL
     (pre-window-shuffle) order; rows beyond n_llm_tokens are garbage and must
     be masked by the caller.
     """
+    if kv_starts is None:
+        kv_starts = jnp.zeros((patches.shape[0] // FULL_ATTN_Q_CHUNK,), jnp.int32)
+        kv_range = patches.shape[0]
     x = nn.linear(params["patch_embed"], patches)
     x = jnp.take(x, patch_gather, axis=0)  # raw order -> window order
     cos, sin = _rope_tables(config, pos_hw)
@@ -320,7 +373,7 @@ def apply(params, config: EncoderConfig, patches, patch_gather, pos_hw, seg_id, 
     for i, block in enumerate(params["blocks"]):
         h = nn.rmsnorm(block["norm1"], x)
         if i in config.fullatt_block_indexes:
-            attn_out = _full_attention(block["attn"], h, cos, sin, seg_id, config)
+            attn_out = _full_attention(block["attn"], h, cos, sin, seg_id, kv_starts, kv_range, config)
         else:
             attn_out = _window_attention(block["attn"], h, cos, sin, win_bias, config)
         x = x + attn_out

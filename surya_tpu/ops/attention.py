@@ -32,21 +32,67 @@ def sdpa(
     bias: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
-    """Dense scaled-dot-product attention, fp32 softmax. q,k,v: [B, S, H, D]
-    (H may differ between q and kv for GQA — kv heads are repeated)."""
+    """Dense scaled-dot-product attention, fp32 softmax. q,k,v: [B, S, H, D].
+    GQA (more q heads than kv heads) is computed grouped — kv is NEVER
+    materialized per-q-head (a q-head-major repeat costs ~GBs of HBM traffic
+    per decode step at large caches)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
 
-    n_rep = q.shape[2] // k.shape[2]
-    if n_rep > 1:
-        k = jnp.repeat(k, n_rep, axis=2)
-        v = jnp.repeat(v, n_rep, axis=2)
+    B, Sq, H, D = q.shape
+    n_kv = k.shape[2]
+    n_rep = H // n_kv
 
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    if n_rep == 1:
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+        if bias is not None:
+            logits = logits + bias
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+    # grouped: q head h uses kv head h // n_rep (matches torch repeat_kv)
+    qg = q.reshape(B, Sq, n_kv, n_rep, D)
+    logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k).astype(jnp.float32) * scale
     if bias is not None:
+        # bias comes in [..., H(broadcast or 1), Sq, Sk]; group the head axis
+        if bias.ndim == 4 and bias.shape[1] == H:
+            bias = bias.reshape(bias.shape[0], n_kv, n_rep, *bias.shape[2:])
+        else:
+            bias = bias[:, :, None] if bias.ndim == 4 else bias
         logits = logits + bias
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+    return out.reshape(B, Sq, H, D)
+
+
+def sdpa_two_piece(q, k1, v1, bias1, k2, v2, bias2, scale: Optional[float] = None):
+    """Attention over two key/value sets merged by log-sum-exp — used for
+    decode where piece 1 is a large FROZEN cache (read-only) and piece 2 a
+    small per-chunk buffer. Equivalent to attention over their concatenation
+    without materializing it. q: [B, 1, H, D]; k/v: [B, S*, Hkv, D]; biases
+    additive, broadcastable to [B, 1, 1, S*]."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    B, Sq, H, D = q.shape
+    n_kv = k1.shape[2]
+    n_rep = H // n_kv
+    qg = q.reshape(B, Sq, n_kv, n_rep, D)
+
+    def piece(k, v, bias):
+        logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k).astype(jnp.float32) * scale
+        logits = logits + bias[:, :, None] if bias.ndim == 4 else logits + bias
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        return logits, m, k, v
+
+    l1, m1, _, _ = piece(k1, v1, bias1)
+    l2, m2, _, _ = piece(k2, v2, bias2)
+    m = jnp.maximum(m1, m2)
+    e1 = jnp.exp(l1 - m)
+    e2 = jnp.exp(l2 - m)
+    denom = jnp.sum(e1, axis=-1, keepdims=True) + jnp.sum(e2, axis=-1, keepdims=True)
+    o1 = jnp.einsum("bhgqk,bkhd->bqhgd", (e1 / denom).astype(v1.dtype), v1)
+    o2 = jnp.einsum("bhgqk,bkhd->bqhgd", (e2 / denom).astype(v2.dtype), v2)
+    return (o1 + o2).reshape(B, Sq, H, D)
 
 
 def rotate_half(x: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,86 @@
+"""Multi-chip execution: device mesh + sharding rules.
+
+The reference has no distributed runtime at all (SURVEY.md §2.10) — its
+throughput is single-device batching. Here scale-out is first-class and
+purely declarative, the XLA way: a 2-D (data, model) mesh, batch axes sharded
+over `data`, and an optional tensor-parallel sharding of the recognition
+decoder (following the reference's unused HF TP plan hints,
+surya/common/surya/decoder/config.py:13-27: q/k/v/gate/up column-wise,
+o/down row-wise). jit + sharding propagation inserts all_gather/psum on ICI;
+nothing in the model code changes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from surya_tpu.settings import settings
+
+DATA_AXIS = settings.MESH_DATA_AXIS
+MODEL_AXIS = settings.MESH_MODEL_AXIS
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: Optional[int] = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n_model = n_model or settings.MESH_NUM_MODEL_SHARDS
+    n_data = n_data or len(devices) // n_model
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 0 (batch / slots) across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _decoder_tp_spec(path: tuple) -> P:
+    """TP plan for the recognition decoder params: column-parallel in-proj
+    kernels, row-parallel out-proj kernels, everything else replicated."""
+    keys = [str(k) for k in path]
+    if "kernel" in keys:
+        for col in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
+            if col in keys:
+                return P(None, MODEL_AXIS)
+        for row in ("o_proj", "down_proj"):
+            if row in keys:
+                return P(MODEL_AXIS, None)
+    if "bias" in keys:
+        for col in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
+            if col in keys:
+                return P(MODEL_AXIS)
+    return P()
+
+
+def shard_foundation_params(params: dict, mesh: Mesh) -> dict:
+    """Place foundation-model params: decoder tensor-parallel over the model
+    axis (when the mesh has >1 model shard), everything else replicated."""
+    use_tp = mesh.shape[MODEL_AXIS] > 1
+
+    def place(path, leaf):
+        keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+        spec = P()
+        if use_tp and keys and keys[0] == "decoder":
+            spec = _decoder_tp_spec(tuple(str(k) for k in keys))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def cache_sharding(mesh: Mesh) -> dict:
+    """KV cache: slots over data, kv heads over model (matches column-parallel
+    k/v projections)."""
+    use_tp = mesh.shape[MODEL_AXIS] > 1
+    kv_spec = P(None, DATA_AXIS, None, MODEL_AXIS if use_tp else None, None)
+    return {
+        "k": NamedSharding(mesh, kv_spec),
+        "v": NamedSharding(mesh, kv_spec),
+        "len": NamedSharding(mesh, P(DATA_AXIS)),
+    }

@@ -93,18 +93,27 @@ class RecognitionPredictor(BasePredictor):
         self.prefill_rows = max(1, batch // 4)
         self.decode_chunk = settings.RECOGNITION_DECODE_CHUNK
         self.seq_buckets = tuple(settings.RECOGNITION_SEQ_BUCKETS)
-        # patch capacity per prefill round: window-padded OCR line is ~1920
-        # patches; floor of 4096 covers the largest single block-task image
-        # (1024x512 px budget). Rounded to the full-attention chunk size.
-        self.patch_cap = max(4096, -(-self.prefill_rows * 1984 // 512) * 512)
+        # patch-capacity buckets per prefill round (window-layout slots): the
+        # smallest that fits is used, so typical OCR lines don't pay for the
+        # worst case (full attention is O(cap^2)). Floor 4096 covers the
+        # largest single block-task image (1024x512 px budget).
+        max_cap = max(8192, -(-self.prefill_rows * 1984 // 512) * 512)
+        caps = [4096]
+        while caps[-1] < max_cap:
+            caps.append(min(caps[-1] * 2, max_cap))
+        self.patch_caps = tuple(caps)
+        self.patch_cap = max_cap
+        processor = self.processor
 
-        @partial(jax.jit, donate_argnums=(1,))
+        @partial(jax.jit, donate_argnums=(1,), static_argnames=("kv_range",))
         def prefill_fn(params, cache, patches, patch_gather, pos_hw, seg_id, unscatter,
-                       llm_h_idx, llm_w_idx, input_ids, img_gather, seq_lens, slot_idx):
-            patches = patches.astype(settings.MODEL_DTYPE)
+                       llm_h_idx, llm_w_idx, input_ids, img_gather, seq_lens, slot_idx,
+                       kv_starts, kv_range):
+            patches = processor.normalize_patch_rows(patches, settings.MODEL_DTYPE)
             return foundation.prefill(
                 params, cfg, cache, patches, patch_gather, pos_hw, seg_id, unscatter,
                 llm_h_idx, llm_w_idx, input_ids, img_gather, seq_lens, slot_idx,
+                kv_starts=kv_starts, kv_range=kv_range,
             )
 
         @partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(1,))
@@ -191,11 +200,11 @@ class RecognitionPredictor(BasePredictor):
     def _estimate_window_slots(self, image: np.ndarray) -> int:
         f = self.processor.factor
         enc = self.config.encoder
-        h = max(f, -(-int(image.shape[0]) // f) * f) // enc.patch_size
-        w = max(f, -(-int(image.shape[1]) // f) * f) // enc.patch_size
-        wc = enc.window_cells
-        llm_h, llm_w = h // enc.spatial_merge_size, w // enc.spatial_merge_size
-        return (-(-llm_h // wc) * wc) * (-(-llm_w // wc) * wc) * enc.merge_unit
+        grid = (
+            max(f, -(-int(image.shape[0]) // f) * f) // enc.patch_size,
+            max(f, -(-int(image.shape[1]) // f) * f) // enc.patch_size,
+        )
+        return self.processor.window_slots_needed(grid, enc)
 
     # -- the scheduler -------------------------------------------------------
 
@@ -261,7 +270,7 @@ class RecognitionPredictor(BasePredictor):
                     cfg.encoder,
                     batch_rows=self.prefill_rows,
                     seq_buckets=self.seq_buckets,
-                    patch_cap=self.patch_cap,
+                    patch_caps=self.patch_caps,
                 )
                 slot_idx = np.full(self.prefill_rows, n_slots, np.int32)  # trash slot
                 target_slots = frees[: len(round_prompts)]
@@ -276,6 +285,7 @@ class RecognitionPredictor(BasePredictor):
                     jnp.asarray(layout.llm_w_idx), jnp.asarray(batch.input_ids),
                     jnp.asarray(batch.img_gather), jnp.asarray(batch.seq_lens),
                     jnp.asarray(slot_idx),
+                    jnp.asarray(layout.kv_starts), kv_range=layout.kv_range,
                 )
                 tok0 = np.asarray(tok0)
                 score0 = np.asarray(score0)

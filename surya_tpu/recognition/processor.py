@@ -43,7 +43,7 @@ IMAGE_STD = np.array((0.229, 0.224, 0.225), np.float32)
 class PrefillBatch:
     """Static-shape device inputs for one prefill round (numpy)."""
 
-    patches: np.ndarray  # [cap_raw, patch_dim] float32 normalized
+    patches: np.ndarray  # [cap, patch_dim] uint8 (normalized on device)
     layout: qwen_encoder.EncoderLayout
     input_ids: np.ndarray  # [Bp, L] int32 right-padded
     img_gather: np.ndarray  # [Bp, L] int32 (-1 = text position)
@@ -90,6 +90,10 @@ class RecognitionProcessor:
     def factor(self) -> int:
         return self.patch_size * self.merge_size
 
+    @property
+    def patch_dim(self) -> int:
+        return 3 * self.patch_size**2
+
     def image_processor(self, image: Image.Image) -> np.ndarray:
         return np.asarray(image, dtype=np.float32)
 
@@ -122,19 +126,19 @@ class RecognitionProcessor:
         return image, False
 
     def tile_image(self, image: np.ndarray) -> Tuple[np.ndarray, Tuple[int, int]]:
-        """Resize to a multiple of patch*merge, normalize, and flatten into
-        per-patch rows (reference _process_and_tile :185-230).
+        """Resize to a multiple of patch*merge and flatten into per-patch rows
+        (reference _process_and_tile :185-230). Patches stay uint8 — rescale
+        and ImageNet normalization happen ON DEVICE (normalize_patches), so
+        the host→device transfer is 4x smaller than fp32.
 
-        Returns (patches [n, 3*p*p] float32, grid (h, w) in patch units)."""
+        Returns (patches [n, 3*p*p] uint8, grid (h, w) in patch units)."""
         f = self.factor
         height, width = image.shape[:2]
         h_bar = max(f, math.ceil(height / f) * f)
         w_bar = max(f, math.ceil(width / f) * f)
         if (h_bar, w_bar) != (height, width):
             image = cv2.resize(image, (w_bar, h_bar), interpolation=cv2.INTER_CUBIC)
-
-        image = (image.astype(np.float64) / 255.0).astype(np.float32)
-        image = (image - IMAGE_MEAN) / IMAGE_STD
+        image = np.clip(np.round(image), 0, 255).astype(np.uint8)
 
         grid_h, grid_w = h_bar // self.patch_size, w_bar // self.patch_size
         m, p = self.merge_size, self.patch_size
@@ -143,6 +147,24 @@ class RecognitionProcessor:
         x = x.transpose(0, 3, 1, 4, 6, 2, 5)  # cell_r, cell_c, dr, dc, C, p, p
         patches = x.reshape(grid_h * grid_w, 3 * p * p)
         return np.ascontiguousarray(patches), (grid_h, grid_w)
+
+    def normalize_patch_rows(self, patches, dtype):
+        """Device-side rescale + normalize of uint8 patch rows (channel-major
+        (C, p, p) layout inside each row)."""
+        import jax.numpy as jnp
+
+        p2 = self.patch_size**2
+        mean = jnp.repeat(jnp.asarray(IMAGE_MEAN, jnp.float32), p2)
+        std = jnp.repeat(jnp.asarray(IMAGE_STD, jnp.float32), p2)
+        x = patches.astype(jnp.float32) / 255.0
+        return ((x - mean) / std).astype(dtype)
+
+    def window_slots_needed(self, grid: Tuple[int, int], encoder_config) -> int:
+        """Window-layout slots an image occupies (incl. edge-window padding)."""
+        wc = encoder_config.window_cells
+        ms = encoder_config.spatial_merge_size
+        llm_h, llm_w = grid[0] // ms, grid[1] // ms
+        return (-(-llm_h // wc) * wc) * (-(-llm_w // wc) * wc) * encoder_config.merge_unit
 
     # -- prompt assembly -----------------------------------------------------
 
@@ -167,10 +189,11 @@ class RecognitionProcessor:
         encoder_config,
         batch_rows: int,
         seq_buckets: Sequence[int],
-        patch_cap: int,
+        patch_caps: Sequence[int],
     ) -> PrefillBatch:
-        """Tile every image, plan the encoder layout at `patch_cap`, and build
-        the static right-padded token matrix + image-token scatter map."""
+        """Tile every image, plan the encoder layout at the smallest capacity
+        bucket that fits, and build the static right-padded token matrix +
+        image-token scatter map."""
         all_patches, grids, prompts = [], [], []
         for img, task, text, math_mode in zip(images, tasks, texts, math_modes):
             patches, grid = self.tile_image(img)
@@ -179,10 +202,13 @@ class RecognitionProcessor:
             grids.append(grid)
             prompts.append(self.build_prompt_ids(task, n_tok, text or "", math_mode))
 
-        cat = np.concatenate(all_patches, axis=0) if all_patches else np.zeros((0, 3 * self.patch_size**2), np.float32)
-        if cat.shape[0] > patch_cap:
-            raise ValueError(f"prefill patches {cat.shape[0]} exceed cap {patch_cap}")
-        patch_buf = np.zeros((patch_cap, cat.shape[1] if cat.size else 3 * self.patch_size**2), np.float32)
+        needed = sum(self.window_slots_needed(g, encoder_config) for g in grids)
+        patch_cap = next((c for c in patch_caps if c >= needed), None)
+        if patch_cap is None:
+            raise ValueError(f"prefill needs {needed} window slots > largest cap {patch_caps[-1]}")
+
+        cat = np.concatenate(all_patches, axis=0) if all_patches else np.zeros((0, self.patch_dim), np.uint8)
+        patch_buf = np.zeros((patch_cap, self.patch_dim), np.uint8)
         patch_buf[: cat.shape[0]] = cat
 
         layout = qwen_encoder.plan_layout(grids, encoder_config, patch_cap)

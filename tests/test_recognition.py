@@ -18,6 +18,7 @@ def recognition_predictor():
     pred.n_slots = 4
     pred.prefill_rows = 2
     pred.patch_cap = 4096
+    pred.patch_caps = (1024, 4096)
     return pred
 
 
