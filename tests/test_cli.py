@@ -1,0 +1,61 @@
+"""CLI plumbing tests (loader, range parsing, results.json shape via the
+detection CLI on a tiny folder — mirrors the reference's scripts.yml smoke)."""
+
+import json
+import os
+
+import pytest
+from click.testing import CliRunner
+from PIL import Image, ImageDraw
+
+
+@pytest.fixture()
+def image_folder(tmp_path):
+    folder = tmp_path / "pages"
+    folder.mkdir()
+    for i in range(2):
+        img = Image.new("RGB", (400, 300), "white")
+        ImageDraw.Draw(img).text((20, 20), f"page {i}", fill="black", font_size=32)
+        img.save(folder / f"page_{i}.png")
+    return folder
+
+
+def test_parse_range_str():
+    from surya_tpu.scripts.config import CLILoader
+
+    assert CLILoader.parse_range_str("0,5-7,20") == [0, 5, 6, 7, 20]
+    assert CLILoader.parse_range_str("3,3,1") == [1, 3]
+
+
+def test_folder_loading(image_folder):
+    from surya_tpu.input.load import load_from_folder
+
+    images, names = load_from_folder(str(image_folder))
+    assert len(images) == 2
+    assert names == ["page_0", "page_1"]
+
+
+def test_detect_text_cli(image_folder, tmp_path, monkeypatch):
+    from surya_tpu.scripts.detect_text import detect_text_cli
+
+    out_dir = tmp_path / "results"
+    runner = CliRunner()
+    result = runner.invoke(
+        detect_text_cli, [str(image_folder), "--output_dir", str(out_dir)], catch_exceptions=False
+    )
+    assert result.exit_code == 0, result.output
+    results_file = out_dir / "pages" / "results.json"
+    assert results_file.exists()
+    data = json.loads(results_file.read_text())
+    assert set(data.keys()) == {"page_0", "page_1"}
+    assert data["page_0"][0]["image_bbox"] == [0, 0, 400, 300]
+
+
+def test_draw_helpers():
+    from surya_tpu.debug.draw import draw_polys_on_image, draw_text_on_image
+
+    img = Image.new("RGB", (100, 100), "white")
+    out = draw_polys_on_image([[[10, 10], [90, 10], [90, 40], [10, 40]]], img, labels=["x"])
+    assert out.size == (100, 100)
+    out2 = draw_text_on_image([[10, 10, 90, 40]], ["hello"], (100, 100))
+    assert out2.size == (100, 100)
