@@ -1,0 +1,66 @@
+"""Detection benchmark (reference: benchmark/detection.py). Coverage-based
+precision/recall on vikp/doclaynet_bench (or synthetic pages offline)."""
+
+import json
+import os
+import time
+
+import click
+from tabulate import tabulate
+
+from benchmark.utils.data import load_hf_dataset, synthetic_text_pages
+from benchmark.utils.metrics import precision_recall
+from surya_tpu.common.util import rescale_bbox
+from surya_tpu.detection import DetectionPredictor
+from surya_tpu.input.processing import convert_if_not_rgb
+from surya_tpu.settings import settings
+
+
+@click.command(help="Benchmark the detection model.")
+@click.option("--results_dir", type=str, default=os.path.join(settings.RESULT_DIR, "benchmark"))
+@click.option("--max_rows", type=int, default=100)
+@click.option("--synthetic", is_flag=True, default=False, help="Use synthetic pages (no dataset download).")
+def main(results_dir: str, max_rows: int, synthetic: bool):
+    det_predictor = DetectionPredictor()
+
+    if synthetic:
+        images, correct_boxes, _ = synthetic_text_pages(max_rows)
+    else:
+        dataset = load_hf_dataset(settings.DETECTOR_BENCH_DATASET_NAME, max_rows)
+        images = convert_if_not_rgb(list(dataset["image"]))
+        correct_boxes = [
+            [rescale_bbox(b, (1000, 1000), images[i].size) for b in boxes]
+            for i, boxes in enumerate(dataset["bboxes"])
+        ]
+
+    det_predictor(images[:1])  # compile
+    start = time.time()
+    predictions = det_predictor(images)
+    surya_time = time.time() - start
+
+    page_metrics = {}
+    for idx, (pred, ref) in enumerate(zip(predictions, correct_boxes)):
+        surya_boxes = [b.bbox for b in pred.bboxes]
+        page_metrics[idx] = {"surya": precision_recall(surya_boxes, ref)}
+
+    mean_metrics = {
+        "surya": {
+            k: sum(page_metrics[i]["surya"][k] for i in page_metrics) / len(page_metrics)
+            for k in ("precision", "recall")
+        }
+    }
+    mean_metrics["surya"]["time_per_image"] = surya_time / len(images)
+
+    out = {"metrics": mean_metrics, "page_metrics": page_metrics}
+    os.makedirs(results_dir, exist_ok=True)
+    with open(os.path.join(results_dir, "det_bench.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+    print(tabulate(
+        [["surya", mean_metrics["surya"]["precision"], mean_metrics["surya"]["recall"], mean_metrics["surya"]["time_per_image"]]],
+        headers=["model", "precision", "recall", "time/image (s)"],
+    ))
+
+
+if __name__ == "__main__":
+    main()

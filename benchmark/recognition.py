@@ -1,0 +1,61 @@
+"""Recognition benchmark (reference: benchmark/recognition.py). Fuzzy line
+similarity on vikp/rec_bench (or synthetic pages offline)."""
+
+import json
+import os
+import time
+
+import click
+from tabulate import tabulate
+
+from benchmark.utils.data import load_hf_dataset, synthetic_text_pages
+from benchmark.utils.scoring import overlap_score
+from surya_tpu.input.processing import convert_if_not_rgb
+from surya_tpu.recognition import RecognitionPredictor
+from surya_tpu.settings import settings
+
+
+@click.command(help="Benchmark the recognition model.")
+@click.option("--results_dir", type=str, default=os.path.join(settings.RESULT_DIR, "benchmark"))
+@click.option("--max_rows", type=int, default=256)
+@click.option("--synthetic", is_flag=True, default=False)
+def main(results_dir: str, max_rows: int, synthetic: bool):
+    rec_predictor = RecognitionPredictor()
+
+    if synthetic:
+        images, bboxes, line_text = synthetic_text_pages(max_rows)
+    else:
+        dataset = load_hf_dataset(settings.RECOGNITION_BENCH_DATASET_NAME, max_rows)
+        images = convert_if_not_rgb(list(dataset["image"]))
+        bboxes = list(dataset["bboxes"])
+        line_text = list(dataset["text"])
+
+    rec_predictor(images[:1], bboxes=bboxes[:1])  # compile
+    start = time.time()
+    predictions = rec_predictor(images, bboxes=bboxes)
+    surya_time = time.time() - start
+
+    scores, weights = [], []
+    for pred, ref_texts in zip(predictions, line_text):
+        pred_texts = [line.text for line in pred.text_lines]
+        s, w, _ = overlap_score(pred_texts, ref_texts)
+        scores.extend(s)
+        weights.extend(w)
+    avg_score = sum(scores) / max(1e-6, sum(weights))
+
+    out = {
+        "surya": {
+            "avg_score": avg_score,
+            "time_per_img": surya_time / len(images),
+            "total_time": surya_time,
+        }
+    }
+    os.makedirs(results_dir, exist_ok=True)
+    with open(os.path.join(results_dir, "rec_bench.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+    print(tabulate([["surya", avg_score, surya_time / len(images)]], headers=["model", "avg_score", "time/image (s)"]))
+
+
+if __name__ == "__main__":
+    main()

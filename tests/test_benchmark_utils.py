@@ -1,0 +1,55 @@
+"""Benchmark metric/scoring unit tests."""
+
+import pytest
+
+
+def test_precision_recall_perfect():
+    from benchmark.utils.metrics import precision_recall
+
+    boxes = [[0, 0, 10, 10], [20, 20, 30, 30]]
+    m = precision_recall(boxes, boxes)
+    assert m["precision"] == 1 and m["recall"] == 1
+
+
+def test_precision_recall_miss():
+    from benchmark.utils.metrics import precision_recall
+
+    m = precision_recall([[100, 100, 110, 110]], [[0, 0, 10, 10]])
+    assert m["precision"] == 0 and m["recall"] == 0
+    assert precision_recall([], [[0, 0, 1, 1]]) == {"precision": 0, "recall": 0}
+    assert precision_recall([[0, 0, 1, 1]], []) == {"precision": 1, "recall": 1}
+
+
+def test_penalized_iou():
+    from benchmark.utils.metrics import penalized_iou_score
+
+    boxes = [[0, 0, 10, 10], [20, 20, 30, 30]]
+    assert penalized_iou_score(boxes, boxes) == pytest.approx(1.0)
+    # one missing reference pulls the score down with a -1 penalty
+    assert penalized_iou_score(boxes[:1], boxes) == pytest.approx((1.0 - 1.0) / 2)
+
+
+def test_rank_accuracy():
+    from benchmark.utils.metrics import rank_accuracy
+
+    assert rank_accuracy([1, 2, 3], [1, 2, 3]) == 1.0
+    assert rank_accuracy([3, 2, 1], [1, 2, 3]) == 0.0
+
+
+def test_overlap_score():
+    from benchmark.utils.scoring import overlap_score
+
+    scores, weights, match = overlap_score(["hello world"], ["hello world", "other"])
+    assert sum(scores) / sum(weights) == pytest.approx(1.0)
+    assert match[0] == 0
+
+
+def test_verify_gates():
+    from benchmark.utils.verify_benchmark_scores import verify_det, verify_rec
+
+    verify_det({"metrics": {"surya": {"precision": 0.95, "recall": 0.95}}})
+    with pytest.raises(ValueError):
+        verify_det({"metrics": {"surya": {"precision": 0.5, "recall": 0.95}}})
+    verify_rec({"surya": {"avg_score": 0.97}})
+    with pytest.raises(ValueError):
+        verify_rec({"surya": {"avg_score": 0.5}})
