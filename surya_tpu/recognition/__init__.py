@@ -34,6 +34,7 @@ from tqdm import tqdm
 
 from surya_tpu.common.polygon import PolygonBox
 from surya_tpu.common.predictor import BasePredictor
+from surya_tpu.common.profiling import stage
 from surya_tpu.input.processing import (
     convert_if_not_rgb,
     slice_bboxes_from_image,
@@ -262,34 +263,36 @@ class RecognitionPredictor(BasePredictor):
                     imgs.append(img)
                     patch_budget -= need
 
-                batch = self.processor.build_prefill_batch(
-                    imgs,
-                    [p.task_name for p in round_prompts],
-                    [p.text for p in round_prompts],
-                    [p.math_mode for p in round_prompts],
-                    cfg.encoder,
-                    batch_rows=self.prefill_rows,
-                    seq_buckets=self.seq_buckets,
-                    patch_caps=self.patch_caps,
-                )
+                with stage("recognition.prefill_build"):
+                    batch = self.processor.build_prefill_batch(
+                        imgs,
+                        [p.task_name for p in round_prompts],
+                        [p.text for p in round_prompts],
+                        [p.math_mode for p in round_prompts],
+                        cfg.encoder,
+                        batch_rows=self.prefill_rows,
+                        seq_buckets=self.seq_buckets,
+                        patch_caps=self.patch_caps,
+                    )
                 slot_idx = np.full(self.prefill_rows, n_slots, np.int32)  # trash slot
                 target_slots = frees[: len(round_prompts)]
                 slot_idx[: len(round_prompts)] = target_slots
 
                 layout = batch.layout
-                cache, tok0, score0, bbox0 = self._prefill_fn(
-                    self.params, cache,
-                    jnp.asarray(batch.patches), jnp.asarray(layout.patch_gather),
-                    jnp.asarray(layout.pos_hw), jnp.asarray(layout.seg_id),
-                    jnp.asarray(layout.unscatter), jnp.asarray(layout.llm_h_idx),
-                    jnp.asarray(layout.llm_w_idx), jnp.asarray(batch.input_ids),
-                    jnp.asarray(batch.img_gather), jnp.asarray(batch.seq_lens),
-                    jnp.asarray(slot_idx),
-                    jnp.asarray(layout.kv_starts), kv_range=layout.kv_range,
-                )
-                tok0 = np.asarray(tok0)
-                score0 = np.asarray(score0)
-                bbox0 = np.asarray(bbox0)
+                with stage("recognition.prefill"):
+                    cache, tok0, score0, bbox0 = self._prefill_fn(
+                        self.params, cache,
+                        jnp.asarray(batch.patches), jnp.asarray(layout.patch_gather),
+                        jnp.asarray(layout.pos_hw), jnp.asarray(layout.seg_id),
+                        jnp.asarray(layout.unscatter), jnp.asarray(layout.llm_h_idx),
+                        jnp.asarray(layout.llm_w_idx), jnp.asarray(batch.input_ids),
+                        jnp.asarray(batch.img_gather), jnp.asarray(batch.seq_lens),
+                        jnp.asarray(slot_idx),
+                        jnp.asarray(layout.kv_starts), kv_range=layout.kv_range,
+                    )
+                    tok0 = np.asarray(tok0)
+                    score0 = np.asarray(score0)
+                    bbox0 = np.asarray(bbox0)
 
                 for row, (slot, prompt) in enumerate(zip(target_slots, round_prompts)):
                     pid = prompt.id
@@ -305,13 +308,14 @@ class RecognitionPredictor(BasePredictor):
                         active[slot] = True
             else:
                 # -- decode chunk: K tokens fully on device --
-                cache, toks, chunk_scores, chunk_bboxes = self._decode_fn(
-                    self.params, cache, jnp.asarray(last_token), jnp.asarray(active),
-                    num_steps=self.decode_chunk,
-                )
-                toks = np.asarray(toks)
-                chunk_scores = np.asarray(chunk_scores)
-                chunk_bboxes = np.asarray(chunk_bboxes)
+                with stage("recognition.decode"):
+                    cache, toks, chunk_scores, chunk_bboxes = self._decode_fn(
+                        self.params, cache, jnp.asarray(last_token), jnp.asarray(active),
+                        num_steps=self.decode_chunk,
+                    )
+                    toks = np.asarray(toks)
+                    chunk_scores = np.asarray(chunk_scores)
+                    chunk_bboxes = np.asarray(chunk_bboxes)
 
                 for slot in range(n_slots):
                     pid = slot_prompt[slot]
