@@ -213,15 +213,16 @@ def plan_layout(
         slot_image_end[lo:hi] = hi
 
     BQ = FULL_ATTN_Q_CHUNK
+    KV_ALIGN = 512  # starts aligned so the Pallas kernel can index KV blocks
     n_chunks = cap // BQ
     kv_starts = np.zeros(n_chunks, np.int32)
     kv_range = BQ
     for ci in range(n_chunks):
-        lo = int(slot_image_start[ci * BQ])
+        lo = (int(slot_image_start[ci * BQ]) // KV_ALIGN) * KV_ALIGN
         hi = int(slot_image_end[min(ci * BQ + BQ, cap) - 1])
         kv_starts[ci] = lo
         kv_range = max(kv_range, hi - lo)
-    kv_range = min(cap, -(-kv_range // 512) * 512)
+    kv_range = min(cap, -(-kv_range // KV_ALIGN) * KV_ALIGN)
     kv_starts = np.minimum(kv_starts, cap - kv_range).astype(np.int32)
 
     return EncoderLayout(
@@ -323,6 +324,16 @@ def _full_attention(p, x, cos, sin, seg_id, kv_starts, kv_range: int, config: En
     q, k = att.apply_rope(q, k, cos[None, :, None, :], sin[None, :, None, :])
     q, k, v = q[0], k[0], v[0]  # [cap, H, D]
     scale = config.head_dim**-0.5
+
+    from surya_tpu.settings import settings
+
+    if settings.USE_PALLAS_ATTENTION and settings.DEVICE != "cpu":
+        from surya_tpu.ops import flash
+
+        out = flash.segmented_block_attention(
+            q, k, v, seg_id, kv_starts, kv_range, block_q=FULL_ATTN_Q_CHUNK, block_k=512
+        )
+        return nn.linear(p["proj"], out.reshape(cap, config.hidden_size))
 
     q_chunk = min(FULL_ATTN_Q_CHUNK, cap)
     kv_range = min(kv_range, cap)

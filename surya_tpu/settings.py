@@ -57,6 +57,9 @@ class Settings(BaseModel):
     ALLOW_RANDOM_WEIGHTS: bool = False
     WEIGHT_SEED: int = 0
 
+    # Kernels
+    USE_PALLAS_ATTENTION: bool = True  # Pallas kernels on TPU (jnp fallback on cpu)
+
     # Mesh / parallelism
     MESH_DATA_AXIS: str = "data"
     MESH_MODEL_AXIS: str = "model"
