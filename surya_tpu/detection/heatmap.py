@@ -34,9 +34,21 @@ def get_dynamic_thresholds(linemap, text_threshold, low_text, typical_top10_avg=
 
 
 def detect_boxes(linemap, text_threshold, low_text):
-    """Connected-component box extraction (CRAFT-derived, reference :27-107)."""
+    """Connected-component box extraction (CRAFT-derived, reference :27-107).
+    Runs the first-party C++ implementation when available (USE_NATIVE_
+    POSTPROCESS); the OpenCV path below is the fallback/reference."""
     img_h, img_w = linemap.shape
     text_threshold, low_text = get_dynamic_thresholds(linemap, text_threshold, low_text)
+
+    if settings.USE_NATIVE_POSTPROCESS:
+        from surya_tpu import native
+
+        if native.craft_ops() is not None:
+            quads, confs = native.extract_boxes(linemap, float(text_threshold), float(low_text))
+            max_conf = confs.max() if len(confs) else 0.0
+            if max_conf > 0:
+                confs = confs / max_conf
+            return list(quads), [float(c) for c in confs]
 
     binary = (linemap > low_text).astype(np.uint8)
     label_count, labels, stats, _ = cv2.connectedComponentsWithStats(binary, connectivity=4)

@@ -59,6 +59,7 @@ class Settings(BaseModel):
 
     # Kernels
     USE_PALLAS_ATTENTION: bool = True  # Pallas kernels on TPU (jnp fallback on cpu)
+    USE_NATIVE_POSTPROCESS: bool = True  # C++ CRAFT postprocess (OpenCV fallback)
 
     # Mesh / parallelism
     MESH_DATA_AXIS: str = "data"
