@@ -46,6 +46,17 @@ def main():
     det = DetectionPredictor()
     rec = RecognitionPredictor()
 
+    # Random weights make the detection heatmap uniform noise, which sends the
+    # CRAFT postprocess down a pathological path (hundreds of spurious
+    # components) no real checkpoint produces. Bias the classifier head so the
+    # sigmoid heatmap is blank — the measured cost is then the real pipeline
+    # (preprocess + forward + transfer + postprocess of a clean page).
+    import jax.numpy as jnp
+
+    head = det.params["head"]["classifier"]
+    if "bias" in head:
+        head["bias"] = jnp.full_like(head["bias"], -6.0)
+
     # warmup / compile with the full workload shape (compiles every bucket
     # the timed run will hit; no cross-process compile cache on this backend)
     det(pages)

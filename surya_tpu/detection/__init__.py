@@ -113,7 +113,12 @@ class DetectionPredictor(BasePredictor):
                 split_index.extend([image_idx] * len(parts))
                 split_heights.extend(heights)
 
-            pixels = np.stack([self.prepare_image(part) for part in image_splits], axis=0)
+            if len(image_splits) >= settings.DETECTOR_MIN_PARALLEL_THRESH:
+                with ThreadPoolExecutor(max_workers=settings.DETECTOR_POSTPROCESSING_CPU_WORKERS) as pool:
+                    prepared = list(pool.map(self.prepare_image, image_splits))
+            else:
+                prepared = [self.prepare_image(part) for part in image_splits]
+            pixels = np.stack(prepared, axis=0)
             n_real = pixels.shape[0]
             # bucket to the next power of two (≤ batch_size): static shapes for
             # XLA with at most log2(batch_size) compiled programs

@@ -36,6 +36,11 @@ def slice_bboxes_from_image(image: np.ndarray, bboxes) -> List[np.ndarray]:
 
 
 def slice_polys_from_image(image: np.ndarray, polys) -> List[np.ndarray]:
+    if len(polys) >= 8:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            return list(pool.map(lambda p: slice_and_pad_poly(image, p), polys))
     return [slice_and_pad_poly(image, poly) for poly in polys]
 
 

@@ -192,25 +192,14 @@ def plan_layout(
     # window spanning the images it touches. Host-plan those windows; the
     # device then does O(cap * kv_range) work instead of O(cap^2)
     # (the TPU replacement for varlen flash attention's cu_seqlens).
-    slot_image_start = np.zeros(cap, np.int64)
-    slot_image_end = np.full(cap, cap, np.int64)
-    run_start = 0
-    prev = None
-    bounds = []
+    # image runs: consecutive slots sharing a seg id (pads attach to their own
+    # run so fully-padded chunks self-attend harmlessly)
     seg_arr = seg_id.astype(np.int64)
-    # image runs: consecutive slots whose seg >= 0 share the image id; pads
-    # attach to their own block so fully-padded chunks self-attend harmlessly
-    for idx in range(cap):
-        cur = seg_arr[idx]
-        if prev is None or cur != prev:
-            if prev is not None:
-                bounds.append((run_start, idx))
-            run_start = idx
-            prev = cur
-    bounds.append((run_start, cap))
-    for lo, hi in bounds:
-        slot_image_start[lo:hi] = lo
-        slot_image_end[lo:hi] = hi
+    change = np.flatnonzero(np.diff(seg_arr)) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [cap]])
+    slot_image_start = np.repeat(starts, ends - starts)
+    slot_image_end = np.repeat(ends, ends - starts)
 
     BQ = FULL_ATTN_Q_CHUNK
     KV_ALIGN = 512  # starts aligned so the Pallas kernel can index KV blocks

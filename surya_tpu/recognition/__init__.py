@@ -111,18 +111,28 @@ class RecognitionPredictor(BasePredictor):
                        llm_h_idx, llm_w_idx, input_ids, img_gather, seq_lens, slot_idx,
                        kv_starts, kv_range):
             patches = processor.normalize_patch_rows(patches, settings.MODEL_DTYPE)
-            return foundation.prefill(
+            cache, tok, score, bbox = foundation.prefill(
                 params, cfg, cache, patches, patch_gather, pos_hw, seg_id, unscatter,
                 llm_h_idx, llm_w_idx, input_ids, img_gather, seq_lens, slot_idx,
                 kv_starts=kv_starts, kv_range=kv_range,
             )
+            # pack outputs into ONE array: each device_get leaf costs a full
+            # tunnel round trip
+            packed = jnp.concatenate(
+                [tok.astype(jnp.float32)[:, None], score[:, None], bbox.astype(jnp.float32)], axis=-1
+            )
+            return cache, packed
 
         @partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(1,))
         def decode_fn(params, cache, last_token, active, num_steps):
             cache, toks, scores, bboxes, _, _ = foundation.decode_chunk(
                 params, cfg, cache, last_token, active, num_steps
             )
-            return cache, toks, scores, bboxes
+            packed = jnp.concatenate(
+                [toks.astype(jnp.float32)[..., None], scores[..., None], bboxes.astype(jnp.float32)],
+                axis=-1,
+            )
+            return cache, packed
 
         self._prefill_fn = prefill_fn
         self._decode_fn = decode_fn
@@ -226,9 +236,23 @@ class RecognitionPredictor(BasePredictor):
             max_tokens[idx] = settings.RECOGNITION_MAX_TOKENS or self.tasks[task]["max_tokens"]
 
         n_slots = min(B, self.n_slots)
-        cache = qwen_decoder.init_cache(
-            cfg.decoder, n_slots + 1, cfg.max_sequence_length, settings.MODEL_DTYPE
+        # right-size the cache: decode attention reads the whole [slots, S]
+        # cache every step, so S is pure bandwidth — size it to the longest
+        # possible prompt bucket + generation budget for THIS workload
+        # instead of the model's absolute max
+        max_prompt = 0
+        for p in queue:
+            img_size = self.tasks[p.task_name]["img_size"]
+            # area bound + resize-rounding margin + special tokens
+            est_tokens = (img_size[0] * img_size[1]) // (self.processor.factor**2) + 128
+            est_tokens += len(p.text or "")
+            max_prompt = max(max_prompt, est_tokens)
+        prompt_bucket = next((b for b in self.seq_buckets if b >= max_prompt), self.seq_buckets[-1])
+        cache_len = min(
+            cfg.max_sequence_length,
+            -(-(prompt_bucket + max(max_tokens.values(), default=0)) // 256) * 256,
         )
+        cache = qwen_decoder.init_cache(cfg.decoder, n_slots + 1, cache_len, settings.MODEL_DTYPE)
         slot_prompt: List[Optional[int]] = [None] * n_slots
         last_token = np.full(n_slots + 1, pad, np.int32)
         active = np.zeros(n_slots + 1, bool)
@@ -280,19 +304,23 @@ class RecognitionPredictor(BasePredictor):
 
                 layout = batch.layout
                 with stage("recognition.prefill"):
-                    cache, tok0, score0, bbox0 = self._prefill_fn(
-                        self.params, cache,
-                        jnp.asarray(batch.patches), jnp.asarray(layout.patch_gather),
-                        jnp.asarray(layout.pos_hw), jnp.asarray(layout.seg_id),
-                        jnp.asarray(layout.unscatter), jnp.asarray(layout.llm_h_idx),
-                        jnp.asarray(layout.llm_w_idx), jnp.asarray(batch.input_ids),
-                        jnp.asarray(batch.img_gather), jnp.asarray(batch.seq_lens),
-                        jnp.asarray(slot_idx),
-                        jnp.asarray(layout.kv_starts), kv_range=layout.kv_range,
+                    # ONE host->device transfer for the whole bundle (each
+                    # separate jnp.asarray costs a full tunnel round trip)
+                    args = jax.device_put(
+                        (
+                            batch.patches, layout.patch_gather, layout.pos_hw,
+                            layout.seg_id, layout.unscatter, layout.llm_h_idx,
+                            layout.llm_w_idx, batch.input_ids, batch.img_gather,
+                            batch.seq_lens, slot_idx, layout.kv_starts,
+                        )
                     )
-                    tok0 = np.asarray(tok0)
-                    score0 = np.asarray(score0)
-                    bbox0 = np.asarray(bbox0)
+                    cache, packed = self._prefill_fn(
+                        self.params, cache, *args, kv_range=layout.kv_range
+                    )
+                    packed = np.asarray(packed)
+                    tok0 = packed[:, 0].astype(np.int32)
+                    score0 = packed[:, 1]
+                    bbox0 = packed[:, 2:]
 
                 for row, (slot, prompt) in enumerate(zip(target_slots, round_prompts)):
                     pid = prompt.id
@@ -309,13 +337,14 @@ class RecognitionPredictor(BasePredictor):
             else:
                 # -- decode chunk: K tokens fully on device --
                 with stage("recognition.decode"):
-                    cache, toks, chunk_scores, chunk_bboxes = self._decode_fn(
-                        self.params, cache, jnp.asarray(last_token), jnp.asarray(active),
-                        num_steps=self.decode_chunk,
+                    inputs = jax.device_put((last_token, active))
+                    cache, packed = self._decode_fn(
+                        self.params, cache, *inputs, num_steps=self.decode_chunk
                     )
-                    toks = np.asarray(toks)
-                    chunk_scores = np.asarray(chunk_scores)
-                    chunk_bboxes = np.asarray(chunk_bboxes)
+                    packed = np.asarray(packed)
+                    toks = packed[..., 0].astype(np.int32)
+                    chunk_scores = packed[..., 1]
+                    chunk_bboxes = packed[..., 2:]
 
                 for slot in range(n_slots):
                     pid = slot_prompt[slot]

@@ -223,11 +223,13 @@ class RecognitionProcessor:
         seq_lens = np.ones((batch_rows,), np.int32)
         llm_base = 0
         for i, (ids, grid) in enumerate(zip(prompts, grids)):
-            input_ids[i, : len(ids)] = ids
+            row = np.asarray(ids, np.int32)
+            input_ids[i, : len(ids)] = row
             n_tok = grid[0] * grid[1] // (self.merge_size**2)
-            img_positions = [j for j, t in enumerate(ids) if t == self.image_token_id]
-            for k, j in enumerate(img_positions):
-                img_gather[i, j] = llm_base + k
+            # <IMAGE> tokens are a contiguous run at the prompt head (offset 1
+            # when a <ROT> prefix is present — build_prompt_ids layout)
+            first = int(np.argmax(row == self.image_token_id))
+            img_gather[i, first : first + n_tok] = np.arange(llm_base, llm_base + n_tok, dtype=np.int32)
             llm_base += n_tok
             seq_lens[i] = len(ids)
 
