@@ -9,6 +9,7 @@ import jax
 from surya_tpu.common.runtime import setup_jax
 from surya_tpu.common.s3 import resolve_checkpoint
 from surya_tpu.common.weights import load_config_json, load_safetensors_dir
+from surya_tpu.common.checkpoint import load_or_convert
 from surya_tpu.logging import get_logger
 from surya_tpu.models import efficientvit
 from surya_tpu.settings import settings
@@ -41,8 +42,10 @@ def load_detection_model(
             decoder_hidden_size=raw_cfg.get("decoder_hidden_size", 512),
             image_size=(size_cfg.get("height", 896), size_cfg.get("width", 896)),
         )
-        tensors = load_safetensors_dir(ckpt_dir)
-        params = efficientvit.convert_torch(tensors, config, dtype=dtype)
+        params = load_or_convert(
+            ckpt_dir, "detection",
+            lambda: efficientvit.convert_torch(load_safetensors_dir(ckpt_dir), config, dtype=dtype),
+        )
         logger.info("loaded detection checkpoint from %s", ckpt_dir)
         return params, config
 

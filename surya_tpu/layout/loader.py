@@ -9,6 +9,7 @@ import jax
 from surya_tpu.common.runtime import setup_jax
 from surya_tpu.common.s3 import resolve_checkpoint
 from surya_tpu.common.weights import load_config_json, load_safetensors_dir
+from surya_tpu.common.checkpoint import load_or_convert
 from surya_tpu.logging import get_logger
 from surya_tpu.models import adetr, donut_swin, layout_model
 from surya_tpu.settings import settings
@@ -62,7 +63,10 @@ def load_layout_model(checkpoint: Optional[str] = None, tiny: bool = False) -> T
 
     if ckpt_dir is not None:
         config = _configs_from_json(load_config_json(ckpt_dir))
-        params = layout_model.convert_torch(load_safetensors_dir(ckpt_dir), config, dtype=dtype)
+        params = load_or_convert(
+            ckpt_dir, "layout",
+            lambda: layout_model.convert_torch(load_safetensors_dir(ckpt_dir), config, dtype=dtype),
+        )
         logger.info("loaded layout checkpoint from %s", ckpt_dir)
         return params, config
 

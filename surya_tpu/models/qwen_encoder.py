@@ -154,6 +154,8 @@ def plan_layout(
     n_slots = len(patch_gather)
     if n_slots > cap:
         raise ValueError(f"layout needs {n_slots} slots > capacity {cap}")
+    if cap % FULL_ATTN_Q_CHUNK:
+        raise ValueError(f"capacity {cap} must be a multiple of {FULL_ATTN_Q_CHUNK}")
     pad = cap - n_slots
     patch_gather = np.asarray(patch_gather + [0] * pad, np.int32)
     pos_hw = np.stack(

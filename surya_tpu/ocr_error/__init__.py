@@ -15,6 +15,7 @@ from surya_tpu.common.predictor import BasePredictor
 from surya_tpu.common.runtime import setup_jax
 from surya_tpu.common.s3 import resolve_checkpoint
 from surya_tpu.common.weights import load_config_json, load_safetensors_dir
+from surya_tpu.common.checkpoint import load_or_convert
 from surya_tpu.logging import get_logger
 from surya_tpu.models import distilbert
 from surya_tpu.models.distilbert import ID2LABEL
@@ -43,7 +44,10 @@ def load_ocr_error_model(checkpoint: Optional[str] = None, tiny: bool = False) -
             dim=raw.get("dim", 768),
             hidden_dim=raw.get("hidden_dim", 3072),
         )
-        params = distilbert.convert_torch(load_safetensors_dir(ckpt_dir), config, dtype=dtype)
+        params = load_or_convert(
+            ckpt_dir, "ocr_error",
+            lambda: distilbert.convert_torch(load_safetensors_dir(ckpt_dir), config, dtype=dtype),
+        )
         tokenizer = WordPieceTokenizer.from_pretrained(ckpt_dir)
         logger.info("loaded ocr_error checkpoint from %s", ckpt_dir)
         return params, config, tokenizer

@@ -16,6 +16,7 @@ import jax
 from surya_tpu.common.runtime import setup_jax
 from surya_tpu.common.s3 import resolve_checkpoint
 from surya_tpu.common.weights import load_config_json, load_safetensors_dir
+from surya_tpu.common.checkpoint import load_or_convert
 from surya_tpu.logging import get_logger
 from surya_tpu.models import foundation, qwen_decoder, qwen_encoder
 from surya_tpu.recognition.processor import RecognitionProcessor
@@ -93,7 +94,10 @@ def load_recognition_model(
             encoder=enc,
             decoder=dec,
         )
-        params = foundation.convert_torch(load_safetensors_dir(ckpt_dir), config, dtype=dtype)
+        params = load_or_convert(
+            ckpt_dir, "recognition",
+            lambda: foundation.convert_torch(load_safetensors_dir(ckpt_dir), config, dtype=dtype),
+        )
         processor = RecognitionProcessor(
             tokenizer,
             patch_size=enc.patch_size,

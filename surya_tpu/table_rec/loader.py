@@ -9,6 +9,7 @@ import jax
 from surya_tpu.common.runtime import setup_jax
 from surya_tpu.common.s3 import resolve_checkpoint
 from surya_tpu.common.weights import load_config_json, load_safetensors_dir
+from surya_tpu.common.checkpoint import load_or_convert
 from surya_tpu.logging import get_logger
 from surya_tpu.models import adetr, donut_swin, table_rec_model
 from surya_tpu.settings import settings
@@ -56,7 +57,10 @@ def load_table_rec_model(checkpoint: Optional[str] = None, tiny: bool = False) -
             encoder=enc,
             decoder=dec,
         )
-        params = table_rec_model.convert_torch(load_safetensors_dir(ckpt_dir), config, dtype=dtype)
+        params = load_or_convert(
+            ckpt_dir, "table_rec",
+            lambda: table_rec_model.convert_torch(load_safetensors_dir(ckpt_dir), config, dtype=dtype),
+        )
         logger.info("loaded table_rec checkpoint from %s", ckpt_dir)
         return params, config
 
