@@ -71,13 +71,44 @@ def init_params(config: DecoderConfig, key, dtype=jnp.float32):
     return {"layers": layers, "norm": nn.rmsnorm_init(h, dtype)}
 
 
-def init_cache(config: DecoderConfig, n_slots: int, max_seq: int, dtype):
+def init_cache(config: DecoderConfig, n_slots: int, max_seq: int, dtype, quantize: bool = False):
+    """Slot KV cache; quantize=True stores int8 values with per-(slot, row,
+    head) scales — half the HBM footprint/bandwidth of bf16 (the TPU
+    counterpart of the reference's HQQ quantized cache,
+    surya/recognition/cache.py:112-186)."""
     shape = (config.num_hidden_layers, n_slots, max_seq, config.num_key_value_heads, config.head_dim)
-    return {
-        "k": jnp.zeros(shape, dtype),
-        "v": jnp.zeros(shape, dtype),
-        "len": jnp.zeros((n_slots,), jnp.int32),
-    }
+    cache = {"len": jnp.zeros((n_slots,), jnp.int32)}
+    if quantize:
+        cache["k"] = jnp.zeros(shape, jnp.int8)
+        cache["v"] = jnp.zeros(shape, jnp.int8)
+        cache["k_scale"] = jnp.zeros(shape[:-1], jnp.bfloat16)
+        cache["v_scale"] = jnp.zeros(shape[:-1], jnp.bfloat16)
+    else:
+        cache["k"] = jnp.zeros(shape, dtype)
+        cache["v"] = jnp.zeros(shape, dtype)
+    return cache
+
+
+def quantize_kv(x):
+    """Symmetric per-vector int8: x [..., head_dim] → (int8 values, scales)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.bfloat16)
+
+
+def dequantize_kv(q, scale, dtype):
+    return (q.astype(jnp.float32) * scale.astype(jnp.float32)[..., None]).astype(dtype)
+
+
+def cache_read(cache: dict, li: int, dtype):
+    """Layer li's (k, v) in compute dtype, dequantizing if needed."""
+    if "k_scale" in cache:
+        return (
+            dequantize_kv(cache["k"][li], cache["k_scale"][li], dtype),
+            dequantize_kv(cache["v"][li], cache["v_scale"][li], dtype),
+        )
+    return cache["k"][li], cache["v"][li]
 
 
 def _rope_cos_sin(config: DecoderConfig, positions: jnp.ndarray):
@@ -131,10 +162,20 @@ def prefill(params, config: DecoderConfig, embeds: jnp.ndarray, seq_lens: jnp.nd
 def merge_prefill(cache: dict, new_k, new_v, seq_lens, slot_idx):
     """Scatter a prefill's KV rows into cache slots (left-aligned) and set the
     slot lengths. slot_idx: [B] target slot per prefill row."""
-    k = cache["k"].at[:, slot_idx, : new_k.shape[2]].set(new_k)
-    v = cache["v"].at[:, slot_idx, : new_v.shape[2]].set(new_v)
-    length = cache["len"].at[slot_idx].set(seq_lens)
-    return {"k": k, "v": v, "len": length}
+    L = new_k.shape[2]
+    out = dict(cache)
+    if "k_scale" in cache:
+        qk, sk = quantize_kv(new_k)
+        qv, sv = quantize_kv(new_v)
+        out["k"] = cache["k"].at[:, slot_idx, :L].set(qk)
+        out["v"] = cache["v"].at[:, slot_idx, :L].set(qv)
+        out["k_scale"] = cache["k_scale"].at[:, slot_idx, :L].set(sk)
+        out["v_scale"] = cache["v_scale"].at[:, slot_idx, :L].set(sv)
+    else:
+        out["k"] = cache["k"].at[:, slot_idx, :L].set(new_k)
+        out["v"] = cache["v"].at[:, slot_idx, :L].set(new_v)
+    out["len"] = cache["len"].at[slot_idx].set(seq_lens)
+    return out
 
 
 def decode_step_chunked(
@@ -176,9 +217,8 @@ def decode_step_chunked(
         q, k = att.apply_rope(q, k, cos, sin)
         chunk_k = chunk_k.at[li, :, step].set(k[:, 0])
         chunk_v = chunk_v.at[li, :, step].set(v[:, 0])
-        out = att.sdpa_two_piece(
-            q, cache["k"][li], cache["v"][li], cache_bias, chunk_k[li], chunk_v[li], chunk_bias
-        )
+        ck, cv = cache_read(cache, li, k.dtype)
+        out = att.sdpa_two_piece(q, ck, cv, cache_bias, chunk_k[li], chunk_v[li], chunk_bias)
         x = x + nn.linear(layer["self_attn"]["o_proj"], out.reshape(B, 1, -1))
         x = x + _mlp(layer["mlp"], nn.rmsnorm(layer["post_attention_layernorm"], x, eps=config.rms_norm_eps))
 
@@ -195,9 +235,19 @@ def commit_chunk(cache: dict, chunk_k, chunk_v, base_len, advance):
     S = cache["k"].shape[2]
     rows = jnp.arange(cache["k"].shape[1])[:, None]
     cols = jnp.minimum(base_len[:, None] + jnp.arange(K)[None, :], S - 1)
-    k = cache["k"].at[:, rows, cols].set(chunk_k)
-    v = cache["v"].at[:, rows, cols].set(chunk_v)
-    return {"k": k, "v": v, "len": cache["len"] + advance.astype(jnp.int32)}
+    out = dict(cache)
+    if "k_scale" in cache:
+        qk, sk = quantize_kv(chunk_k)
+        qv, sv = quantize_kv(chunk_v)
+        out["k"] = cache["k"].at[:, rows, cols].set(qk)
+        out["v"] = cache["v"].at[:, rows, cols].set(qv)
+        out["k_scale"] = cache["k_scale"].at[:, rows, cols].set(sk)
+        out["v_scale"] = cache["v_scale"].at[:, rows, cols].set(sv)
+    else:
+        out["k"] = cache["k"].at[:, rows, cols].set(chunk_k)
+        out["v"] = cache["v"].at[:, rows, cols].set(chunk_v)
+    out["len"] = cache["len"] + advance.astype(jnp.int32)
+    return out
 
 
 def decode_step(params, config: DecoderConfig, cache: dict, embeds: jnp.ndarray, advance: jnp.ndarray):

@@ -252,7 +252,10 @@ class RecognitionPredictor(BasePredictor):
             cfg.max_sequence_length,
             -(-(prompt_bucket + max(max_tokens.values(), default=0)) // 256) * 256,
         )
-        cache = qwen_decoder.init_cache(cfg.decoder, n_slots + 1, cache_len, settings.MODEL_DTYPE)
+        cache = qwen_decoder.init_cache(
+            cfg.decoder, n_slots + 1, cache_len, settings.MODEL_DTYPE,
+            quantize=settings.RECOGNITION_MODEL_QUANTIZE,
+        )
         slot_prompt: List[Optional[int]] = [None] * n_slots
         last_token = np.full(n_slots + 1, pad, np.int32)
         active = np.zeros(n_slots + 1, bool)

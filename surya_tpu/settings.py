@@ -79,6 +79,7 @@ class Settings(BaseModel):
 
     # Text recognition
     RECOGNITION_MODEL_CHECKPOINT: str = "s3://text_recognition/2025_05_16"
+    RECOGNITION_MODEL_QUANTIZE: bool = False  # int8 KV cache (half the HBM)
     RECOGNITION_MAX_TOKENS: Optional[int] = None
     RECOGNITION_BATCH_SIZE: Optional[int] = None  # default 8 on cpu, 256 on tpu
     RECOGNITION_CHUNK_SIZE: Optional[int] = None
