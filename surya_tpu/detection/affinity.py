@@ -41,8 +41,8 @@ def get_detected_lines(image, slope_tol_deg=2, vertical=False, horizontal=False)
 
     found: List[ColumnLine] = []
     if lines is not None:
-        for line in lines:
-            x1, y1, x2, y2 = line[0]
+        for line in np.asarray(lines).reshape(-1, 4):
+            x1, y1, x2, y2 = line
             is_vertical = is_horizontal = False
             if x2 == x1:
                 is_vertical = True

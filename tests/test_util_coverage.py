@@ -1,0 +1,88 @@
+"""Unit tests for host utilities not covered elsewhere: vertical-line
+detection, word assembly, polygon dedup, box utils, slicer joins."""
+
+import numpy as np
+
+
+def test_vertical_lines_detection():
+    from surya_tpu.detection.affinity import get_vertical_lines
+
+    # affinity map with two vertical bars
+    amap = np.zeros((200, 200), np.float32)
+    amap[20:180, 60:63] = 1.0
+    amap[20:180, 140:143] = 1.0
+    lines = get_vertical_lines(amap, (200, 200), (400, 400))
+    assert len(lines) >= 1
+    for line in lines:
+        assert line.vertical
+        assert line.bbox[2] - line.bbox[0] <= 40  # thin
+
+
+def test_words_from_chars():
+    from surya_tpu.common.polygon import PolygonBox
+    from surya_tpu.recognition.schema import TextChar
+    from surya_tpu.recognition.util import words_from_chars
+
+    def char(text, x):
+        return TextChar(text=text, polygon=[x, 0, x + 10, 10], confidence=0.9)
+
+    chars = [char("h", 0), char("i", 10), char(" ", 20), char("y", 30), char("o", 40)]
+    line = PolygonBox(polygon=[0, 0, 50, 10])
+    words = words_from_chars(chars, line)
+    assert [w.text for w in words] == ["hi", "yo"]
+    assert words[0].bbox[0] == 0  # merged left to line start
+
+
+def test_clean_close_polygons():
+    from surya_tpu.recognition.util import clean_close_polygons
+
+    a = [[0, 0], [10, 0], [10, 10], [0, 10]]
+    b = [[0.05, 0], [10.05, 0], [10.05, 10], [0.05, 10]]  # within thresh
+    c = [[20, 0], [30, 0], [30, 10], [20, 10]]
+    assert len(clean_close_polygons([a, b, c])) == 2
+
+
+def test_clean_boxes_containment():
+    from surya_tpu.common.polygon import PolygonBox
+    from surya_tpu.common.util import clean_boxes
+
+    outer = PolygonBox(polygon=[0, 0, 100, 100])
+    inner = PolygonBox(polygon=[10, 10, 50, 50])
+    degenerate = PolygonBox(polygon=[5, 5, 5, 20])
+    kept = clean_boxes([outer, inner, degenerate])
+    assert kept == [outer]
+
+
+def test_slicer_join_merges_across_tiles():
+    from surya_tpu.layout.schema import LayoutBox, LayoutResult
+    from surya_tpu.layout.slicer import ImageSlicer
+
+    slicer = ImageSlicer({"height": 1500, "width": 1500}, {"height": 1200, "width": 1200})
+    # one figure split across a vertical cut at y=1200
+    top = LayoutResult(
+        bboxes=[LayoutBox(polygon=[100, 1000, 500, 1200], label="Figure", position=0)],
+        image_bbox=[0, 0, 800, 1200],
+    )
+    bottom = LayoutResult(
+        bboxes=[LayoutBox(polygon=[100, 0, 500, 150], label="Figure", position=0)],
+        image_bbox=[0, 0, 800, 1100],
+    )
+    joined = slicer.join([top, bottom], [(0, 0, 0), (0, 0, 1)])
+    assert len(joined) == 1
+    assert joined[0].sliced
+    assert len(joined[0].bboxes) == 1  # merged into one figure
+    assert joined[0].bboxes[0].bbox[3] >= 1300
+
+
+def test_polygon_box_ops():
+    from surya_tpu.common.polygon import PolygonBox
+
+    box = PolygonBox(polygon=[10, 10, 30, 20])
+    assert box.width == 20 and box.height == 10 and box.area == 200
+    assert box.center == [20, 15]
+    other = PolygonBox(polygon=[20, 10, 40, 20])
+    assert box.intersection_pct(other) == 0.5
+    box.expand(0.1, 0.1)
+    assert box.bbox[0] == 8 and box.bbox[2] == 32
+    box.clamp([0, 0, 25, 25])
+    assert box.bbox[2] == 25
