@@ -76,11 +76,14 @@ def shard_foundation_params(params: dict, mesh: Mesh) -> dict:
 
 def cache_sharding(mesh: Mesh) -> dict:
     """KV cache: slots over data, kv heads over model (matches column-parallel
-    k/v projections)."""
+    k/v projections). Includes int8-cache scale specs."""
     use_tp = mesh.shape[MODEL_AXIS] > 1
-    kv_spec = P(None, DATA_AXIS, None, MODEL_AXIS if use_tp else None, None)
+    head = MODEL_AXIS if use_tp else None
+    kv_spec = P(None, DATA_AXIS, None, head, None)
     return {
         "k": NamedSharding(mesh, kv_spec),
         "v": NamedSharding(mesh, kv_spec),
+        "k_scale": NamedSharding(mesh, P(None, DATA_AXIS, None, head)),
+        "v_scale": NamedSharding(mesh, P(None, DATA_AXIS, None, head)),
         "len": NamedSharding(mesh, P(DATA_AXIS)),
     }

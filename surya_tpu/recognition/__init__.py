@@ -89,9 +89,24 @@ class RecognitionPredictor(BasePredictor):
         self.params, self.config, self.processor = load_recognition_model(checkpoint, tiny=self._tiny)
         cfg = self.config
 
+        # multi-chip: shard slots/prefill rows over the mesh's data axis and
+        # (optionally) the decoder tensor-parallel over the model axis; the
+        # scheduler keeps its global view and XLA runs the programs SPMD
+        self.mesh = None
+        if len(jax.devices()) > 1 and settings.USE_MESH:
+            from surya_tpu.parallel import mesh as meshlib
+
+            self.mesh = meshlib.make_mesh()
+            self.n_data = self.mesh.shape[meshlib.DATA_AXIS]
+            self.params = meshlib.shard_foundation_params(self.params, self.mesh)
+        else:
+            self.n_data = 1
+
         batch = self.get_batch_size()
-        self.n_slots = batch
-        self.prefill_rows = max(1, batch // 4)
+        # slot count (incl. trash slot) and prefill rows divisible by the
+        # data axis so batch shardings are even
+        self.n_slots = -(-(batch + 1) // self.n_data) * self.n_data - 1
+        self.prefill_rows = max(1, -(-(batch // 4) // self.n_data) * self.n_data)
         self.decode_chunk = settings.RECOGNITION_DECODE_CHUNK
         self.seq_buckets = tuple(settings.RECOGNITION_SEQ_BUCKETS)
         # patch-capacity buckets per prefill round (window-layout slots): the
@@ -256,6 +271,11 @@ class RecognitionPredictor(BasePredictor):
             cfg.decoder, n_slots + 1, cache_len, settings.MODEL_DTYPE,
             quantize=settings.RECOGNITION_MODEL_QUANTIZE,
         )
+        if self.mesh is not None:
+            from surya_tpu.parallel import mesh as meshlib
+
+            shardings = meshlib.cache_sharding(self.mesh)
+            cache = {k: jax.device_put(v, shardings[k]) for k, v in cache.items()}
         slot_prompt: List[Optional[int]] = [None] * n_slots
         last_token = np.full(n_slots + 1, pad, np.int32)
         active = np.zeros(n_slots + 1, bool)
@@ -308,15 +328,25 @@ class RecognitionPredictor(BasePredictor):
                 layout = batch.layout
                 with stage("recognition.prefill"):
                     # ONE host->device transfer for the whole bundle (each
-                    # separate jnp.asarray costs a full tunnel round trip)
-                    args = jax.device_put(
-                        (
-                            batch.patches, layout.patch_gather, layout.pos_hw,
-                            layout.seg_id, layout.unscatter, layout.llm_h_idx,
-                            layout.llm_w_idx, batch.input_ids, batch.img_gather,
-                            batch.seq_lens, slot_idx, layout.kv_starts,
-                        )
+                    # separate jnp.asarray costs a full tunnel round trip);
+                    # on a mesh, prefill rows shard over the data axis and
+                    # the packed image arrays replicate
+                    bundle = (
+                        batch.patches, layout.patch_gather, layout.pos_hw,
+                        layout.seg_id, layout.unscatter, layout.llm_h_idx,
+                        layout.llm_w_idx, batch.input_ids, batch.img_gather,
+                        batch.seq_lens, slot_idx, layout.kv_starts,
                     )
+                    if self.mesh is not None:
+                        from surya_tpu.parallel import mesh as meshlib
+
+                        rep = meshlib.replicated(self.mesh)
+                        row = meshlib.batch_sharding(self.mesh)
+                        args = jax.device_put(
+                            bundle, (rep, rep, rep, rep, rep, rep, rep, row, row, row, row, rep)
+                        )
+                    else:
+                        args = jax.device_put(bundle)
                     cache, packed = self._prefill_fn(
                         self.params, cache, *args, kv_range=layout.kv_range
                     )
@@ -340,7 +370,13 @@ class RecognitionPredictor(BasePredictor):
             else:
                 # -- decode chunk: K tokens fully on device --
                 with stage("recognition.decode"):
-                    inputs = jax.device_put((last_token, active))
+                    if self.mesh is not None:
+                        from surya_tpu.parallel import mesh as meshlib
+
+                        row = meshlib.batch_sharding(self.mesh)
+                        inputs = jax.device_put((last_token, active), (row, row))
+                    else:
+                        inputs = jax.device_put((last_token, active))
                     cache, packed = self._decode_fn(
                         self.params, cache, *inputs, num_steps=self.decode_chunk
                     )

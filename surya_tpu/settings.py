@@ -62,6 +62,7 @@ class Settings(BaseModel):
     USE_NATIVE_POSTPROCESS: bool = True  # C++ CRAFT postprocess (OpenCV fallback)
 
     # Mesh / parallelism
+    USE_MESH: bool = False  # shard predictors across all devices (multi-chip)
     MESH_DATA_AXIS: str = "data"
     MESH_MODEL_AXIS: str = "model"
     MESH_NUM_MODEL_SHARDS: int = 1  # >1 enables tensor parallelism

@@ -40,6 +40,38 @@ def test_tp_param_placement():
     assert emb.sharding.spec == P()
 
 
+def test_meshed_recognition_predictor(test_image=None):
+    """End-to-end RecognitionPredictor with slots sharded over an 8-device
+    data mesh (USE_MESH)."""
+    import jax
+    from PIL import Image, ImageDraw
+
+    from surya_tpu.settings import settings
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    img = Image.new("RGB", (512, 256), "white")
+    ImageDraw.Draw(img).text((10, 10), "mesh test line", fill="black", font_size=24)
+
+    old = settings.USE_MESH
+    settings.USE_MESH = True
+    try:
+        from surya_tpu.recognition import RecognitionPredictor
+
+        pred = RecognitionPredictor(tiny=True)
+        pred.batch_size = 15
+        pred.n_slots = 15  # +1 trash slot = 16, divisible by 8
+        pred.prefill_rows = 8
+        pred.patch_caps = (1024, 4096)
+        results = pred([img], bboxes=[[[5, 5, 200, 40], [5, 60, 300, 100]]])
+        assert len(results) == 1
+        assert len(results[0].text_lines) == 2
+        assert pred.mesh is not None
+    finally:
+        settings.USE_MESH = old
+
+
 def test_dryrun_multichip_step():
     """The driver's dry run: full prefill + decode chunk over a dp+tp mesh."""
     import jax
