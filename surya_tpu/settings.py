@@ -88,7 +88,7 @@ class Settings(BaseModel):
     RECOGNITION_PAD_VALUE: int = 255
     # TPU scheduling knobs: tokens decoded on-device per host visit, and the
     # static sequence-length buckets prefill rounds compile against
-    RECOGNITION_DECODE_CHUNK: int = 32
+    RECOGNITION_DECODE_CHUNK: int = 64
     RECOGNITION_SEQ_BUCKETS: tuple = (512, 1024, 1536)
 
     # Layout
