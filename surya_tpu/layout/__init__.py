@@ -73,9 +73,14 @@ class LayoutPredictor(BasePredictor):
         def generate(params, pixels_u8):
             x = pixels_u8.astype(settings.MODEL_DTYPE) / 255.0
             x = (x - IMAGE_MEAN) / IMAGE_STD
-            return layout_model.generate(params, cfg, x)
+            boxes, logits, valid = layout_model.generate(params, cfg, x)
+            # pack into one array: one device->host fetch per batch
+            return jnp.concatenate(
+                [boxes, logits, valid[..., None].astype(jnp.float32)], axis=-1
+            )
 
         self._generate = generate
+        self._n_box_fields = 7
 
     def prepare_image(self, img: Image.Image) -> np.ndarray:
         """Squish-resize to the encoder size (reference donut processor
@@ -121,10 +126,10 @@ class LayoutPredictor(BasePredictor):
             pixels = np.stack([self.prepare_image(im) for im in batch_images])
             pixels = self.pad_to_batch_size(pixels, batch_size)
 
-            boxes, logits, valid = self._generate(self.params, jnp.asarray(pixels))
-            boxes = np.asarray(boxes)[:current]
-            logits = np.asarray(logits)[:current]
-            valid = np.asarray(valid)[:current]
+            packed = np.asarray(self._generate(self.params, jax.device_put(pixels)))[:current]
+            boxes = packed[..., :7]
+            logits = packed[..., 7:-1]
+            valid = packed[..., -1] > 0.5
 
             batch_results = []
             dec = self.config

@@ -77,7 +77,19 @@ class TableRecPredictor(BasePredictor):
 
         @partial(jax.jit, static_argnames=("max_steps",))
         def generate(params, enc_states, input_vectors, seq_lens, max_steps):
-            return table_rec_model.generate(params, cfg, enc_states, input_vectors, seq_lens, max_steps)
+            bufs = table_rec_model.generate(params, cfg, enc_states, input_vectors, seq_lens, max_steps)
+            # pack into one array: one device->host fetch per pass
+            return jnp.concatenate(
+                [
+                    bufs["bbox"],
+                    bufs["category"][..., None].astype(jnp.float32),
+                    bufs["merges"][..., None].astype(jnp.float32),
+                    bufs["colspan"][..., None].astype(jnp.float32),
+                    bufs["is_header"][..., None].astype(jnp.float32),
+                    bufs["valid"][..., None].astype(jnp.float32),
+                ],
+                axis=-1,
+            )
 
         self._encode = encode
         self._generate = generate
@@ -119,25 +131,24 @@ class TableRecPredictor(BasePredictor):
         enc_pad = self.pad_to_batch_size(enc_states, batch_size)
         seq_lens = np.full((batch_size,), L, np.int32)
 
-        bufs = self._generate(
-            self.params, jnp.asarray(enc_pad), jnp.asarray(vec_pad), jnp.asarray(seq_lens),
-            max_steps=self.config.max_boxes,
-        )
-        bufs = {k: np.asarray(v)[:n] for k, v in bufs.items()}
+        args = jax.device_put((enc_pad, vec_pad, seq_lens))
+        packed = np.asarray(
+            self._generate(self.params, *args, max_steps=self.config.max_boxes)
+        )[:n]
 
         predictions: List[List[dict]] = []
         for j in range(n):
             preds = []
-            for i in range(bufs["valid"].shape[1]):
-                if not bufs["valid"][j, i]:
+            for i in range(packed.shape[1]):
+                if packed[j, i, 10] <= 0.5:  # valid flag
                     continue
                 preds.append(
                     {
-                        "bbox": bufs["bbox"][j, i].tolist(),
-                        "category": int(bufs["category"][j, i]),
-                        "merges": int(bufs["merges"][j, i]),
-                        "colspan": int(bufs["colspan"][j, i]),
-                        "is_header": int(bufs["is_header"][j, i]),
+                        "bbox": packed[j, i, :6].tolist(),
+                        "category": int(packed[j, i, 6]),
+                        "merges": int(packed[j, i, 7]),
+                        "colspan": int(packed[j, i, 8]),
+                        "is_header": int(packed[j, i, 9]),
                     }
                 )
             predictions.append(preds)
