@@ -107,6 +107,10 @@ class RecognitionPredictor(BasePredictor):
         # data axis so batch shardings are even
         self.n_slots = -(-(batch + 1) // self.n_data) * self.n_data - 1
         self.prefill_rows = max(1, -(-(batch // 4) // self.n_data) * self.n_data)
+        # row buckets: big refill waves (e.g. the initial fill) go through one
+        # large prefill dispatch instead of several small ones — dispatch
+        # overhead is significant on remote-attached TPUs
+        self.prefill_row_buckets = (self.prefill_rows, min(self.n_slots + 1, self.prefill_rows * 4))
         self.decode_chunk = settings.RECOGNITION_DECODE_CHUNK
         self.seq_buckets = tuple(settings.RECOGNITION_SEQ_BUCKETS)
         # patch-capacity buckets per prefill round (window-layout slots): the
@@ -297,7 +301,7 @@ class RecognitionPredictor(BasePredictor):
                 # -- prefill round: pack prompts under slot + patch budgets --
                 round_prompts: List[RecognitionPrompt] = []
                 imgs: List[np.ndarray] = []
-                slot_budget = min(len(frees), self.prefill_rows)
+                slot_budget = min(len(frees), self.prefill_row_buckets[-1])
                 patch_budget = self.patch_cap
                 while queue and len(round_prompts) < slot_budget:
                     prompt = queue[0]
@@ -310,6 +314,7 @@ class RecognitionPredictor(BasePredictor):
                     imgs.append(img)
                     patch_budget -= need
 
+                batch_rows = next(b for b in self.prefill_row_buckets if b >= len(round_prompts))
                 with stage("recognition.prefill_build"):
                     batch = self.processor.build_prefill_batch(
                         imgs,
@@ -317,11 +322,11 @@ class RecognitionPredictor(BasePredictor):
                         [p.text for p in round_prompts],
                         [p.math_mode for p in round_prompts],
                         cfg.encoder,
-                        batch_rows=self.prefill_rows,
+                        batch_rows=batch_rows,
                         seq_buckets=self.seq_buckets,
                         patch_caps=self.patch_caps,
                     )
-                slot_idx = np.full(self.prefill_rows, n_slots, np.int32)  # trash slot
+                slot_idx = np.full(batch_rows, n_slots, np.int32)  # trash slot
                 target_slots = frees[: len(round_prompts)]
                 slot_idx[: len(round_prompts)] = target_slots
 
