@@ -80,7 +80,6 @@ class LayoutPredictor(BasePredictor):
             )
 
         self._generate = generate
-        self._n_box_fields = 7
 
     def prepare_image(self, img: Image.Image) -> np.ndarray:
         """Squish-resize to the encoder size (reference donut processor
