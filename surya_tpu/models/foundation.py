@@ -85,12 +85,12 @@ def embed_prompt_tokens(params, config: FoundationConfig, input_ids, img_gather,
     return jnp.where((img_gather >= 0)[..., None], img.astype(tok.dtype), tok)
 
 
-def encode_images(params, config: FoundationConfig, patches, patch_gather, pos_hw, seg_id, unscatter, llm_h_idx, llm_w_idx, kv_starts=None, kv_range: int = 0):
+def encode_images(params, config: FoundationConfig, patches, enc_args, llm_h_idx, llm_w_idx, kv_range: int, win_range: int):
     """Vision encoder + 2-D learned position embeddings → image tokens
-    [llm_cap, hidden] in original order."""
+    [llm_cap, hidden] in original order. enc_args: EncoderLayout.device_args."""
     img_tokens = qwen_encoder.apply(
-        params["vision_encoder"], config.encoder, patches, patch_gather, pos_hw, seg_id, unscatter,
-        kv_starts=kv_starts, kv_range=kv_range,
+        params["vision_encoder"], config.encoder, patches, *enc_args,
+        kv_range=kv_range, win_range=win_range,
     )
     enc2d = nn.embedding(params["img_h_embed"], llm_h_idx) + nn.embedding(params["img_w_embed"], llm_w_idx)
     return img_tokens + enc2d
@@ -101,26 +101,22 @@ def prefill(
     config: FoundationConfig,
     cache: dict,
     patches,
-    patch_gather,
-    pos_hw,
-    seg_id,
-    unscatter,
+    enc_args,
     llm_h_idx,
     llm_w_idx,
     input_ids,
     img_gather,
     seq_lens,
     slot_idx,
-    kv_starts=None,
-    kv_range: int = 0,
+    kv_range: int,
+    win_range: int,
 ):
     """Fused prefill: encode images, build the mixed embedding sequence,
     run the decoder prefill, scatter KV into cache slots, sample token 0.
 
     Returns (new_cache, token [B], score [B], bbox [B, 6])."""
     image_tokens = encode_images(
-        params, config, patches, patch_gather, pos_hw, seg_id, unscatter, llm_h_idx, llm_w_idx,
-        kv_starts=kv_starts, kv_range=kv_range,
+        params, config, patches, enc_args, llm_h_idx, llm_w_idx, kv_range, win_range
     )
     embeds = embed_prompt_tokens(params, config, input_ids, img_gather, image_tokens)
     new_k, new_v, last_hidden = qwen_decoder.prefill(params["decoder"], config.decoder, embeds, seq_lens)

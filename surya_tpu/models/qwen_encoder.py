@@ -82,22 +82,57 @@ FULL_ATTN_Q_CHUNK = 128  # rows per full-attention query chunk
 class EncoderLayout:
     """Host-computed static-shape layout plan for one packed batch.
 
-    cap: padded patch capacity (window layout length, multiple of
-    window_patches). llm_cap = cap // merge_unit.
+    The layout is PACKED: every slot below n_patches is a real patch (no
+    window-padding slots at all — the reference's get_window_index pads edge
+    windows; here window attention is segment-driven so windows can be any
+    size and parity is exact). cap is the padded capacity (bucket).
     """
 
     cap: int
-    n_patches: int  # real patches (raw layout)
+    n_patches: int  # real patches
     n_llm_tokens: int  # real merged tokens across all images
     patch_gather: np.ndarray  # [cap] raw-layout index per window-order slot
     pos_hw: np.ndarray  # [cap, 2] patch (h, w) within image, window order
-    seg_id: np.ndarray  # [cap] image id per slot, -1 for padding
+    seg_id: np.ndarray  # [cap] image id per slot (pads: unique id per chunk)
+    win_id: np.ndarray  # [cap] window id per slot (pads: unique id per chunk)
     unscatter: np.ndarray  # [llm_cap] window-order cell idx per original-order token
     llm_h_idx: np.ndarray  # [llm_cap] row index for 2D learned embedding
     llm_w_idx: np.ndarray  # [llm_cap] col index for 2D learned embedding
     tokens_per_image: List[int]
-    kv_starts: np.ndarray  # [cap // Q_CHUNK] KV window start per query chunk
-    kv_range: int  # static KV window length covering any chunk's images
+    kv_starts: np.ndarray  # [cap // Q_CHUNK] full-attn KV window start per q chunk
+    kv_range: int  # static full-attn KV window length
+    win_starts: np.ndarray  # [cap // Q_CHUNK] window-attn KV start per q chunk
+    win_range: int  # static window-attn KV window length
+
+    @property
+    def device_args(self):
+        """The arrays the encoder program consumes, in apply()'s order."""
+        return (
+            self.patch_gather, self.pos_hw, self.seg_id, self.win_id,
+            self.unscatter, self.kv_starts, self.win_starts,
+        )
+
+
+def _chunk_ranges(group_id: np.ndarray, cap: int, chunk: int, align: int):
+    """For each `chunk`-slot query block, the contiguous KV window covering
+    every group (image or window) it touches. Groups are contiguous runs of
+    group_id; starts align down to `align` for the Pallas kernel."""
+    change = np.flatnonzero(np.diff(group_id.astype(np.int64))) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [cap]])
+    run_start = np.repeat(starts, ends - starts)
+    run_end = np.repeat(ends, ends - starts)
+
+    n_chunks = cap // chunk
+    kv_starts = np.zeros(n_chunks, np.int32)
+    kv_range = chunk
+    for ci in range(n_chunks):
+        lo = (int(run_start[ci * chunk]) // align) * align
+        hi = int(run_end[min(ci * chunk + chunk, cap) - 1])
+        kv_starts[ci] = lo
+        kv_range = max(kv_range, hi - lo)
+    kv_range = min(cap, -(-kv_range // align) * align)
+    return np.minimum(kv_starts, cap - kv_range).astype(np.int32), int(kv_range)
 
 
 def plan_layout(
@@ -106,70 +141,81 @@ def plan_layout(
     cap: int,
     embed_encoding_multiplier: int = 256,
 ) -> EncoderLayout:
-    """Compute the window-order layout for a list of per-image patch grids
-    (h, w in patch units; both multiples of spatial_merge_size).
+    """Compute the packed window-order layout for per-image patch grids
+    (h, w in patch units; multiples of spatial_merge_size).
 
-    Mirrors the reference get_window_index (encoder/__init__.py:552-597) and
-    rot_pos_emb (:523-550), except edge windows keep padded slots (masked)
-    instead of being packed to variable length."""
+    Cell order mirrors the reference get_window_index partition
+    (encoder/__init__.py:552-597): (window row-group, window col-group,
+    row-in-group, col-in-group) — but edge groups keep their true (smaller)
+    size instead of being padded, so the emitted sequence contains only real
+    patches. Attention grouping is carried by win_id/seg_id."""
     ms = config.spatial_merge_size
     wc = config.window_cells
     mu = config.merge_unit
 
-    patch_gather, pos_h, pos_w, seg = [], [], [], []
-    cell_src: List[int] = []  # window-order cell -> original-order token idx (-1 pad)
+    gathers, pos_hs, pos_ws, segs, wins, cell_srcs = [], [], [], [], [], []
     raw_base = 0
     llm_base = 0
+    win_counter = 0
     for img_idx, (h, w) in enumerate(grids):
         llm_h, llm_w = h // ms, w // ms
-        n_win_h = -(-llm_h // wc)
-        n_win_w = -(-llm_w // wc)
-        for win_r in range(n_win_h):
-            for win_c in range(n_win_w):
-                for cr in range(wc):
-                    for cc in range(wc):
-                        r = win_r * wc + cr
-                        c = win_c * wc + cc
-                        valid = r < llm_h and c < llm_w
-                        if valid:
-                            cell_src.append(llm_base + r * llm_w + c)
-                        else:
-                            cell_src.append(-1)
-                        for dr in range(ms):
-                            for dc in range(ms):
-                                if valid:
-                                    raw_idx = ((r * llm_w + c) * ms + dr) * ms + dc
-                                    patch_gather.append(raw_base + raw_idx)
-                                    pos_h.append(r * ms + dr)
-                                    pos_w.append(c * ms + dc)
-                                    seg.append(img_idx)
-                                else:
-                                    patch_gather.append(0)
-                                    pos_h.append(0)
-                                    pos_w.append(0)
-                                    seg.append(-1)
+        blocks = []
+        win_sizes = []
+        for gr in range(-(-llm_h // wc)):
+            r0, r1 = gr * wc, min((gr + 1) * wc, llm_h)
+            for gc in range(-(-llm_w // wc)):
+                c0, c1 = gc * wc, min((gc + 1) * wc, llm_w)
+                block = (np.arange(r0, r1)[:, None] * llm_w + np.arange(c0, c1)[None, :]).ravel()
+                blocks.append(block)
+                win_sizes.append(block.size)
+        cell_idx = np.concatenate(blocks)  # original-order cell index, window order
+        n_cells = cell_idx.size
+
+        cell_srcs.append(llm_base + cell_idx)
+        # expand cells to their mu patches (raw order within a cell is (dr, dc))
+        gathers.append((raw_base + cell_idx[:, None] * mu + np.arange(mu)[None, :]).ravel())
+        r = cell_idx // llm_w
+        c = cell_idx % llm_w
+        dr = np.arange(mu) // ms
+        dc = np.arange(mu) % ms
+        pos_hs.append((r[:, None] * ms + dr[None, :]).ravel())
+        pos_ws.append((c[:, None] * ms + dc[None, :]).ravel())
+        segs.append(np.full(n_cells * mu, img_idx))
+        wins.append(np.repeat(win_counter + np.arange(len(win_sizes)), np.asarray(win_sizes) * mu))
+        win_counter += len(win_sizes)
         raw_base += h * w
         llm_base += llm_h * llm_w
 
-    n_slots = len(patch_gather)
-    if n_slots > cap:
-        raise ValueError(f"layout needs {n_slots} slots > capacity {cap}")
+    def cat(parts, pad_value, dtype=np.int32):
+        flat = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+        out = np.full(cap, pad_value, dtype)
+        out[: flat.size] = flat
+        return out, int(flat.size)
+
     if cap % FULL_ATTN_Q_CHUNK:
         raise ValueError(f"capacity {cap} must be a multiple of {FULL_ATTN_Q_CHUNK}")
-    pad = cap - n_slots
-    patch_gather = np.asarray(patch_gather + [0] * pad, np.int32)
-    pos_hw = np.stack(
-        [np.asarray(pos_h + [0] * pad, np.int32), np.asarray(pos_w + [0] * pad, np.int32)],
-        axis=-1,
-    )
-    seg_id = np.asarray(seg + [-1] * pad, np.int32)
+    n_slots = int(sum(g.size for g in gathers))
+    if n_slots > cap:
+        raise ValueError(f"layout needs {n_slots} slots > capacity {cap}")
+
+    patch_gather, _ = cat(gathers, 0)
+    pos_h, _ = cat(pos_hs, 0)
+    pos_w, _ = cat(pos_ws, 0)
+    pos_hw = np.stack([pos_h, pos_w], axis=-1)
+    # pad slots get a unique group id PER QUERY CHUNK so their attention
+    # ranges stay one chunk wide (a shared pad id would make the whole pad
+    # tail one giant range)
+    pad_ids = -2 - (np.arange(cap) // FULL_ATTN_Q_CHUNK)
+    seg_id, _ = cat(segs, 0)
+    seg_id[n_slots:] = pad_ids[n_slots:]
+    win_id, _ = cat(wins, 0)
+    win_id[n_slots:] = pad_ids[n_slots:]
 
     # original-order token -> window-order cell
     llm_cap = cap // mu
-    cell_src_arr = np.asarray(cell_src + [-1] * (llm_cap - len(cell_src)), np.int64)
+    cell_src_arr = np.concatenate(cell_srcs) if cell_srcs else np.zeros(0, np.int64)
     unscatter = np.zeros(llm_cap, np.int32)
-    order = np.nonzero(cell_src_arr >= 0)[0]
-    unscatter[cell_src_arr[order]] = order.astype(np.int32)
+    unscatter[cell_src_arr] = np.arange(cell_src_arr.size, dtype=np.int32)
 
     # per-token 2D learned-embedding indices, original order
     # (reference get_2d_learned_embeddings: common/surya/__init__.py:233-272)
@@ -189,32 +235,13 @@ def plan_layout(
     llm_h_idx[:n_llm] = h_idx
     llm_w_idx[:n_llm] = w_idx
 
-    # Full attention is per image, and images occupy CONTIGUOUS window-order
-    # slot runs — so each fixed query chunk only needs the contiguous KV
-    # window spanning the images it touches. Host-plan those windows; the
-    # device then does O(cap * kv_range) work instead of O(cap^2)
-    # (the TPU replacement for varlen flash attention's cu_seqlens).
-    # image runs: consecutive slots sharing a seg id (pads attach to their own
-    # run so fully-padded chunks self-attend harmlessly)
-    seg_arr = seg_id.astype(np.int64)
-    change = np.flatnonzero(np.diff(seg_arr)) + 1
-    starts = np.concatenate([[0], change])
-    ends = np.concatenate([change, [cap]])
-    slot_image_start = np.repeat(starts, ends - starts)
-    slot_image_end = np.repeat(ends, ends - starts)
-
-    BQ = FULL_ATTN_Q_CHUNK
-    KV_ALIGN = 512  # starts aligned so the Pallas kernel can index KV blocks
-    n_chunks = cap // BQ
-    kv_starts = np.zeros(n_chunks, np.int32)
-    kv_range = BQ
-    for ci in range(n_chunks):
-        lo = (int(slot_image_start[ci * BQ]) // KV_ALIGN) * KV_ALIGN
-        hi = int(slot_image_end[min(ci * BQ + BQ, cap) - 1])
-        kv_starts[ci] = lo
-        kv_range = max(kv_range, hi - lo)
-    kv_range = min(cap, -(-kv_range // KV_ALIGN) * KV_ALIGN)
-    kv_starts = np.minimum(kv_starts, cap - kv_range).astype(np.int32)
+    # Attention ranges: both attention flavors are "ranged segmented
+    # attention" — each fixed query chunk attends a contiguous KV window
+    # covering its groups (images for full-attn blocks, windows for the
+    # rest), masked by group id inside the window. This is the TPU
+    # replacement for varlen flash attention's cu_seqlens.
+    kv_starts, kv_range = _chunk_ranges(seg_id, cap, FULL_ATTN_Q_CHUNK, align=512)
+    win_starts, win_range = _chunk_ranges(win_id, cap, FULL_ATTN_Q_CHUNK, align=128)
 
     return EncoderLayout(
         cap=cap,
@@ -223,12 +250,15 @@ def plan_layout(
         patch_gather=patch_gather,
         pos_hw=pos_hw,
         seg_id=seg_id,
+        win_id=win_id,
         unscatter=unscatter,
         llm_h_idx=llm_h_idx,
         llm_w_idx=llm_w_idx,
         tokens_per_image=tokens_per_image,
         kv_starts=kv_starts,
         kv_range=kv_range,
+        win_starts=win_starts,
+        win_range=win_range,
     )
 
 
@@ -290,26 +320,13 @@ def _qkv(p, x, num_heads, head_dim):
     return out[..., 0, :, :], out[..., 1, :, :], out[..., 2, :, :]
 
 
-def _window_attention(p, x, cos, sin, win_bias, config: EncoderConfig):
-    """Dense attention within each 64-patch window: [W, 64, D]."""
-    wp = config.window_patches
-    W = x.shape[0] // wp
-    xw = x.reshape(W, wp, -1)
-    q, k, v = _qkv(p, xw, config.num_heads, config.head_dim)
-    cos_w = cos.reshape(W, wp, 1, -1)
-    sin_w = sin.reshape(W, wp, 1, -1)
-    q, k = att.apply_rope(q, k, cos_w, sin_w)
-    out = att.sdpa(q, k, v, bias=win_bias)
-    out = out.reshape(W, wp, config.hidden_size)
-    return nn.linear(p["proj"], out).reshape(x.shape)
-
-
-def _full_attention(p, x, cos, sin, seg_id, kv_starts, kv_range: int, config: EncoderConfig):
-    """Per-image full attention over the flat window-order sequence. Each
-    fixed query chunk attends only its host-planned contiguous KV window
-    (images are contiguous slot runs), masked by segment id inside the window
-    — O(cap * kv_range) instead of O(cap^2). TPU replacement for the
-    reference's varlen flash attention at full-attn blocks 3 & 7."""
+def _ranged_attention(p, x, cos, sin, group_id, kv_starts, kv_range: int, config: EncoderConfig, block_k: int):
+    """Segmented ranged attention over the flat packed sequence: each fixed
+    query chunk attends its host-planned contiguous KV window, masked by
+    group id inside the window — O(cap * kv_range) instead of O(cap^2).
+    Groups are windows for windowed blocks and whole images for the
+    full-attention blocks (the TPU replacement for the reference's varlen
+    flash attention, encoder/__init__.py:552-666)."""
     cap = x.shape[0]
     q, k, v = _qkv(p, x[None], config.num_heads, config.head_dim)
     q, k = att.apply_rope(q, k, cos[None, :, None, :], sin[None, :, None, :])
@@ -322,7 +339,7 @@ def _full_attention(p, x, cos, sin, seg_id, kv_starts, kv_range: int, config: En
         from surya_tpu.ops import flash
 
         out = flash.segmented_block_attention(
-            q, k, v, seg_id, kv_starts, kv_range, block_q=FULL_ATTN_Q_CHUNK, block_k=512
+            q, k, v, group_id, kv_starts, kv_range, block_q=FULL_ATTN_Q_CHUNK, block_k=block_k
         )
         return nn.linear(p["proj"], out.reshape(cap, config.hidden_size))
 
@@ -332,11 +349,11 @@ def _full_attention(p, x, cos, sin, seg_id, kv_starts, kv_range: int, config: En
 
     def chunk_fn(ci):
         qs = jax.lax.dynamic_slice_in_dim(q, ci * q_chunk, q_chunk, axis=0)
-        seg_q = jax.lax.dynamic_slice_in_dim(seg_id, ci * q_chunk, q_chunk, axis=0)
+        seg_q = jax.lax.dynamic_slice_in_dim(group_id, ci * q_chunk, q_chunk, axis=0)
         start = kv_starts[ci]
         ks = jax.lax.dynamic_slice_in_dim(k, start, kv_range, axis=0)
         vs = jax.lax.dynamic_slice_in_dim(v, start, kv_range, axis=0)
-        seg_k = jax.lax.dynamic_slice_in_dim(seg_id, start, kv_range, axis=0)
+        seg_k = jax.lax.dynamic_slice_in_dim(group_id, start, kv_range, axis=0)
         logits = jnp.einsum("qhd,khd->hqk", qs, ks).astype(jnp.float32) * scale
         mask = seg_q[:, None] == seg_k[None, :]
         logits = jnp.where(mask[None], logits, att.NEG_INF)
@@ -348,36 +365,25 @@ def _full_attention(p, x, cos, sin, seg_id, kv_starts, kv_range: int, config: En
     return nn.linear(p["proj"], out)
 
 
-def apply(params, config: EncoderConfig, patches, patch_gather, pos_hw, seg_id, unscatter, kv_starts=None, kv_range: int = 0):
+def apply(params, config: EncoderConfig, patches, patch_gather, pos_hw, seg_id, win_id, unscatter, kv_starts, win_starts, kv_range: int, win_range: int):
     """Encode a packed batch of image patches.
 
-    patches: [cap, patch_dim] raw-order flattened patches (zero padded)
-    patch_gather/pos_hw/seg_id/unscatter/kv_starts: from plan_layout (device
-    arrays); kv_range: the plan's static full-attention window (0 = whole cap)
+    patches: [cap, patch_dim] raw-order flattened patches (zero padded); the
+    remaining arrays and the two static range lengths come from plan_layout.
     Returns merged image tokens [cap // merge_unit, out_hidden] in ORIGINAL
     (pre-window-shuffle) order; rows beyond n_llm_tokens are garbage and must
     be masked by the caller.
     """
-    if kv_starts is None:
-        kv_starts = jnp.zeros((patches.shape[0] // FULL_ATTN_Q_CHUNK,), jnp.int32)
-        kv_range = patches.shape[0]
     x = nn.linear(params["patch_embed"], patches)
     x = jnp.take(x, patch_gather, axis=0)  # raw order -> window order
     cos, sin = _rope_tables(config, pos_hw)
 
-    wp = config.window_patches
-    W = x.shape[0] // wp
-    valid = (seg_id >= 0).reshape(W, wp)
-    # keys: valid slots only; fully-padded windows attend self to stay finite
-    win_mask = valid[:, None, :] | jnp.eye(wp, dtype=bool)[None]
-    win_bias = att.mask_to_bias(win_mask[:, None, :, :])  # [W, 1, q, k]
-
     for i, block in enumerate(params["blocks"]):
         h = nn.rmsnorm(block["norm1"], x)
         if i in config.fullatt_block_indexes:
-            attn_out = _full_attention(block["attn"], h, cos, sin, seg_id, kv_starts, kv_range, config)
+            attn_out = _ranged_attention(block["attn"], h, cos, sin, seg_id, kv_starts, kv_range, config, block_k=512)
         else:
-            attn_out = _window_attention(block["attn"], h, cos, sin, win_bias, config)
+            attn_out = _ranged_attention(block["attn"], h, cos, sin, win_id, win_starts, win_range, config, block_k=128)
         x = x + attn_out
         x = x + _mlp(block["mlp"], nn.rmsnorm(block["norm2"], x))
 

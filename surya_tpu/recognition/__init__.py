@@ -113,11 +113,11 @@ class RecognitionPredictor(BasePredictor):
         self.prefill_row_buckets = (self.prefill_rows, min(self.n_slots + 1, self.prefill_rows * 4))
         self.decode_chunk = settings.RECOGNITION_DECODE_CHUNK
         self.seq_buckets = tuple(settings.RECOGNITION_SEQ_BUCKETS)
-        # patch-capacity buckets per prefill round (window-layout slots): the
-        # smallest that fits is used, so typical OCR lines don't pay for the
-        # worst case (full attention is O(cap^2)). Floor 4096 covers the
-        # largest single block-task image (1024x512 px budget).
-        max_cap = max(8192, -(-self.prefill_rows * 1984 // 512) * 512)
+        # patch-capacity buckets per prefill round: the smallest that fits is
+        # used. The packed layout has no window padding, so a typical OCR
+        # line is ~1500 patches; floor 4096 covers the largest single
+        # block-task image (1024x512 px budget).
+        max_cap = max(8192, -(-self.prefill_rows * 1536 // 512) * 512)
         caps = [4096]
         while caps[-1] < max_cap:
             caps.append(min(caps[-1] * 2, max_cap))
@@ -125,15 +125,14 @@ class RecognitionPredictor(BasePredictor):
         self.patch_cap = max_cap
         processor = self.processor
 
-        @partial(jax.jit, donate_argnums=(1,), static_argnames=("kv_range",))
-        def prefill_fn(params, cache, patches, patch_gather, pos_hw, seg_id, unscatter,
-                       llm_h_idx, llm_w_idx, input_ids, img_gather, seq_lens, slot_idx,
-                       kv_starts, kv_range):
+        @partial(jax.jit, donate_argnums=(1,), static_argnames=("kv_range", "win_range"))
+        def prefill_fn(params, cache, patches, enc_args, llm_h_idx, llm_w_idx,
+                       input_ids, img_gather, seq_lens, slot_idx, kv_range, win_range):
             patches = processor.normalize_patch_rows(patches, settings.MODEL_DTYPE)
             cache, tok, score, bbox = foundation.prefill(
-                params, cfg, cache, patches, patch_gather, pos_hw, seg_id, unscatter,
-                llm_h_idx, llm_w_idx, input_ids, img_gather, seq_lens, slot_idx,
-                kv_starts=kv_starts, kv_range=kv_range,
+                params, cfg, cache, patches, enc_args, llm_h_idx, llm_w_idx,
+                input_ids, img_gather, seq_lens, slot_idx,
+                kv_range=kv_range, win_range=win_range,
             )
             # pack outputs into ONE array: each device_get leaf costs a full
             # tunnel round trip
@@ -337,10 +336,9 @@ class RecognitionPredictor(BasePredictor):
                     # on a mesh, prefill rows shard over the data axis and
                     # the packed image arrays replicate
                     bundle = (
-                        batch.patches, layout.patch_gather, layout.pos_hw,
-                        layout.seg_id, layout.unscatter, layout.llm_h_idx,
+                        batch.patches, layout.device_args, layout.llm_h_idx,
                         layout.llm_w_idx, batch.input_ids, batch.img_gather,
-                        batch.seq_lens, slot_idx, layout.kv_starts,
+                        batch.seq_lens, slot_idx,
                     )
                     if self.mesh is not None:
                         from surya_tpu.parallel import mesh as meshlib
@@ -348,12 +346,14 @@ class RecognitionPredictor(BasePredictor):
                         rep = meshlib.replicated(self.mesh)
                         row = meshlib.batch_sharding(self.mesh)
                         args = jax.device_put(
-                            bundle, (rep, rep, rep, rep, rep, rep, rep, row, row, row, row, rep)
+                            bundle,
+                            (rep, tuple(rep for _ in layout.device_args), rep, rep, row, row, row, row),
                         )
                     else:
                         args = jax.device_put(bundle)
                     cache, packed = self._prefill_fn(
-                        self.params, cache, *args, kv_range=layout.kv_range
+                        self.params, cache, *args,
+                        kv_range=layout.kv_range, win_range=layout.win_range,
                     )
                     packed = np.asarray(packed)
                     tok0 = packed[:, 0].astype(np.int32)

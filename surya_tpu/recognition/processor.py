@@ -160,11 +160,9 @@ class RecognitionProcessor:
         return ((x - mean) / std).astype(dtype)
 
     def window_slots_needed(self, grid: Tuple[int, int], encoder_config) -> int:
-        """Window-layout slots an image occupies (incl. edge-window padding)."""
-        wc = encoder_config.window_cells
-        ms = encoder_config.spatial_merge_size
-        llm_h, llm_w = grid[0] // ms, grid[1] // ms
-        return (-(-llm_h // wc) * wc) * (-(-llm_w // wc) * wc) * encoder_config.merge_unit
+        """Layout slots an image occupies — the packed layout has no window
+        padding, so this is exactly its patch count."""
+        return grid[0] * grid[1]
 
     # -- prompt assembly -----------------------------------------------------
 

@@ -121,10 +121,11 @@ def test_prefill_parity(torch_model, my_model):
     raw[: cat.shape[0]] = cat
     m_ids, m_gather, seq_lens = _my_batch(rows, n_tok)
 
+    enc_args = tuple(jnp.asarray(a) for a in layout.device_args)
     img_tokens = foundation.encode_images(
-        params, cfg, jnp.asarray(raw), jnp.asarray(layout.patch_gather),
-        jnp.asarray(layout.pos_hw), jnp.asarray(layout.seg_id),
-        jnp.asarray(layout.unscatter), jnp.asarray(layout.llm_h_idx), jnp.asarray(layout.llm_w_idx),
+        params, cfg, jnp.asarray(raw), enc_args,
+        jnp.asarray(layout.llm_h_idx), jnp.asarray(layout.llm_w_idx),
+        layout.kv_range, layout.win_range,
     )
     embeds = foundation.embed_prompt_tokens(params, cfg, jnp.asarray(m_ids), jnp.asarray(m_gather), img_tokens)
     _, _, last_hidden = qwen_decoder.prefill(params["decoder"], cfg.decoder, embeds, jnp.asarray(seq_lens))
@@ -183,12 +184,13 @@ def test_decode_loop_parity(torch_model, my_model):
     m_ids, m_gather, seq_lens = _my_batch(rows, n_tok)
 
     cache = qwen_decoder.init_cache(cfg.decoder, n_slots=3, max_seq=64, dtype=jnp.float32)
+    enc_args = tuple(jnp.asarray(a) for a in layout.device_args)
     cache, tok0, score0, bbox0 = foundation.prefill(
-        params, cfg, cache, jnp.asarray(raw), jnp.asarray(layout.patch_gather),
-        jnp.asarray(layout.pos_hw), jnp.asarray(layout.seg_id), jnp.asarray(layout.unscatter),
+        params, cfg, cache, jnp.asarray(raw), enc_args,
         jnp.asarray(layout.llm_h_idx), jnp.asarray(layout.llm_w_idx),
         jnp.asarray(m_ids), jnp.asarray(m_gather), jnp.asarray(seq_lens),
         jnp.asarray(np.array([0, 1], np.int32)),
+        kv_range=layout.kv_range, win_range=layout.win_range,
     )
     assert np.array_equal(np.asarray(tok0), torch_tokens[:, 0])
 
