@@ -141,19 +141,49 @@ class RecognitionPredictor(BasePredictor):
             )
             return cache, packed
 
+        def _pack(toks, scores, bboxes):
+            return jnp.concatenate(
+                [toks.astype(jnp.float32)[..., None], scores[..., None], bboxes.astype(jnp.float32)],
+                axis=-1,
+            )
+
         @partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(1,))
         def decode_fn(params, cache, last_token, active, num_steps):
             cache, toks, scores, bboxes, _, _ = foundation.decode_chunk(
                 params, cfg, cache, last_token, active, num_steps
             )
-            packed = jnp.concatenate(
-                [toks.astype(jnp.float32)[..., None], scores[..., None], bboxes.astype(jnp.float32)],
-                axis=-1,
+            return cache, _pack(toks, scores, bboxes)
+
+        nop_id = self.processor.no_output_token
+
+        @partial(jax.jit, donate_argnums=(1,), static_argnames=("kv_range", "win_range", "num_steps"))
+        def prefill_decode_fn(params, cache, patches, enc_args, llm_h_idx, llm_w_idx,
+                              input_ids, img_gather, seq_lens, slot_idx, row_valid,
+                              last_token, active, kv_range, win_range, num_steps):
+            """Fused prefill + decode chunk: saves one dispatch per refill
+            round when the scheduler knows decode comes next."""
+            patches = processor.normalize_patch_rows(patches, settings.MODEL_DTYPE)
+            cache, tok, score, bbox = foundation.prefill(
+                params, cfg, cache, patches, enc_args, llm_h_idx, llm_w_idx,
+                input_ids, img_gather, seq_lens, slot_idx,
+                kv_range=kv_range, win_range=win_range,
             )
-            return cache, packed
+            prefill_packed = jnp.concatenate(
+                [tok.astype(jnp.float32)[:, None], score[:, None], bbox.astype(jnp.float32)], axis=-1
+            )
+            # seed the new slots (mirrors the host's prefill bookkeeping)
+            done0 = (tok == cfg.eos_token_id) | (tok == nop_id)
+            lt_new = jnp.where((tok == cfg.eos_token_id) | (tok == cfg.pad_token_id), cfg.pad_token_id, tok)
+            last_token = last_token.at[slot_idx].set(jnp.where(row_valid, lt_new, last_token[slot_idx]))
+            active = active.at[slot_idx].set(jnp.where(row_valid, ~done0, active[slot_idx]))
+            cache, toks, scores, bboxes, _, _ = foundation.decode_chunk(
+                params, cfg, cache, last_token, active, num_steps
+            )
+            return cache, prefill_packed, _pack(toks, scores, bboxes)
 
         self._prefill_fn = prefill_fn
         self._decode_fn = decode_fn
+        self._prefill_decode_fn = prefill_decode_fn
 
     # -- slicing (host) ------------------------------------------------------
 
@@ -294,6 +324,30 @@ class RecognitionPredictor(BasePredictor):
             last_token[slot] = pad
             pbar.update(1)
 
+        def process_decode(packed):
+            toks = packed[..., 0].astype(np.int32)
+            chunk_scores = packed[..., 1]
+            chunk_bboxes = packed[..., 2:]
+            for slot in range(n_slots):
+                pid = slot_prompt[slot]
+                if pid is None or not active[slot]:
+                    continue
+                for j in range(self.decode_chunk):
+                    t = int(toks[slot, j])
+                    predicted_tokens[pid].append(t)
+                    scores[pid].append(float(chunk_scores[slot, j]))
+                    bboxes[pid].append(chunk_bboxes[slot, j])
+                    stop = (
+                        t in (eos, pad)
+                        or len(predicted_tokens[pid]) >= max_tokens[pid]
+                        or detect_repeat_token(predicted_tokens[pid])
+                    )
+                    if stop:
+                        finish(slot)
+                        break
+                else:
+                    last_token[slot] = int(toks[slot, self.decode_chunk - 1])
+
         while queue or any(p is not None for p in slot_prompt):
             frees = free_slots()
             if queue and len(frees) / n_slots > self.min_prefill_ratio:
@@ -329,6 +383,11 @@ class RecognitionPredictor(BasePredictor):
                 target_slots = frees[: len(round_prompts)]
                 slot_idx[: len(round_prompts)] = target_slots
 
+                # fuse the following decode chunk into this dispatch when no
+                # further prefill can come next (dispatch overhead is large
+                # on remote-attached TPUs)
+                fuse = not queue or (len(frees) - len(round_prompts)) / n_slots <= self.min_prefill_ratio
+
                 layout = batch.layout
                 with stage("recognition.prefill"):
                     # ONE host->device transfer for the whole bundle (each
@@ -345,17 +404,34 @@ class RecognitionPredictor(BasePredictor):
 
                         rep = meshlib.replicated(self.mesh)
                         row = meshlib.batch_sharding(self.mesh)
-                        args = jax.device_put(
-                            bundle,
-                            (rep, tuple(rep for _ in layout.device_args), rep, rep, row, row, row, row),
-                        )
+                        shard = (rep, tuple(rep for _ in layout.device_args), rep, rep, row, row, row, row)
+                        args = jax.device_put(bundle, shard)
                     else:
                         args = jax.device_put(bundle)
-                    cache, packed = self._prefill_fn(
-                        self.params, cache, *args,
-                        kv_range=layout.kv_range, win_range=layout.win_range,
-                    )
-                    packed = np.asarray(packed)
+
+                    decode_packed = None
+                    if fuse:
+                        row_valid = np.zeros(batch_rows, bool)
+                        row_valid[: len(round_prompts)] = True
+                        extra = (row_valid, last_token, active)
+                        if self.mesh is not None:
+                            extra = jax.device_put(extra, (row, meshlib.batch_sharding(self.mesh), meshlib.batch_sharding(self.mesh)))
+                        else:
+                            extra = jax.device_put(extra)
+                        cache, packed, decode_packed = self._prefill_decode_fn(
+                            self.params, cache, *args, *extra,
+                            kv_range=layout.kv_range, win_range=layout.win_range,
+                            num_steps=self.decode_chunk,
+                        )
+                        packed, decode_packed = jax.device_get((packed, decode_packed))
+                        packed = np.asarray(packed)
+                        decode_packed = np.asarray(decode_packed)
+                    else:
+                        cache, packed = self._prefill_fn(
+                            self.params, cache, *args,
+                            kv_range=layout.kv_range, win_range=layout.win_range,
+                        )
+                        packed = np.asarray(packed)
                     tok0 = packed[:, 0].astype(np.int32)
                     score0 = packed[:, 1]
                     bbox0 = packed[:, 2:]
@@ -372,6 +448,9 @@ class RecognitionPredictor(BasePredictor):
                     else:
                         last_token[slot] = pad if t in (eos, pad) else t
                         active[slot] = True
+
+                if decode_packed is not None:
+                    process_decode(decode_packed)
             else:
                 # -- decode chunk: K tokens fully on device --
                 with stage("recognition.decode"):
@@ -386,29 +465,7 @@ class RecognitionPredictor(BasePredictor):
                         self.params, cache, *inputs, num_steps=self.decode_chunk
                     )
                     packed = np.asarray(packed)
-                    toks = packed[..., 0].astype(np.int32)
-                    chunk_scores = packed[..., 1]
-                    chunk_bboxes = packed[..., 2:]
-
-                for slot in range(n_slots):
-                    pid = slot_prompt[slot]
-                    if pid is None or not active[slot]:
-                        continue
-                    for j in range(self.decode_chunk):
-                        t = int(toks[slot, j])
-                        predicted_tokens[pid].append(t)
-                        scores[pid].append(float(chunk_scores[slot, j]))
-                        bboxes[pid].append(chunk_bboxes[slot, j])
-                        stop = (
-                            t in (eos, pad)
-                            or len(predicted_tokens[pid]) >= max_tokens[pid]
-                            or detect_repeat_token(predicted_tokens[pid])
-                        )
-                        if stop:
-                            finish(slot)
-                            break
-                    else:
-                        last_token[slot] = int(toks[slot, self.decode_chunk - 1])
+                process_decode(packed)
 
         pbar.close()
 
