@@ -386,7 +386,9 @@ class RecognitionPredictor(BasePredictor):
                 # fuse the following decode chunk into this dispatch when no
                 # further prefill can come next (dispatch overhead is large
                 # on remote-attached TPUs)
-                fuse = not queue or (len(frees) - len(round_prompts)) / n_slots <= self.min_prefill_ratio
+                fuse = self._prefill_decode_fn is not None and (
+                    not queue or (len(frees) - len(round_prompts)) / n_slots <= self.min_prefill_ratio
+                )
 
                 layout = batch.layout
                 with stage("recognition.prefill"):
