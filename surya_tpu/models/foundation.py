@@ -150,10 +150,15 @@ def decode_chunk(
     # the big cache stays READ-ONLY inside the loop; new KV accumulates in a
     # small chunk buffer and is committed once at the end (qwen_decoder
     # .decode_step_chunked) — per-step writes to the full cache would copy it
-    # every iteration of the while_loop
+    # every iteration of the while_loop. The chunk buffer is always COMPUTE
+    # dtype: with a quantized cache, quantization happens only at commit_chunk
+    # (within-chunk attention must see exact keys/values, mirroring how the
+    # reference HQQ cache quantizes only on cache insertion,
+    # surya/recognition/cache.py:112-186).
+    compute_dtype = params["token_embed"]["embedding"].dtype
     kv_shape = (dec.num_hidden_layers, B, K, dec.num_key_value_heads, dec.head_dim)
-    chunk_k = jnp.zeros(kv_shape, cache["k"].dtype)
-    chunk_v = jnp.zeros(kv_shape, cache["k"].dtype)
+    chunk_k = jnp.zeros(kv_shape, compute_dtype)
+    chunk_v = jnp.zeros(kv_shape, compute_dtype)
     base_len = cache["len"]
     advance = jnp.zeros((B,), jnp.int32)
 

@@ -250,48 +250,6 @@ def commit_chunk(cache: dict, chunk_k, chunk_v, base_len, advance):
     return out
 
 
-def decode_step(params, config: DecoderConfig, cache: dict, embeds: jnp.ndarray, advance: jnp.ndarray):
-    """One decode token for every slot.
-
-    embeds: [B, hidden] token embedding of the current input token per slot.
-    advance: [B] bool — slots still generating (frozen slots don't move their
-    write cursor; their compute is discarded).
-    Returns (new_cache, hidden [B, hidden]).
-    """
-    B = embeds.shape[0]
-    S = cache["k"].shape[2]
-    pos = cache["len"]  # [B] current token's position
-    write_at = jnp.minimum(pos, S - 1)
-    cos, sin = _rope_cos_sin(config, pos.astype(jnp.float32)[:, None])
-    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
-
-    # keys valid at rows < pos, plus the current token's own row
-    key_rows = jnp.arange(S)[None, :]
-    mask = key_rows <= pos[:, None]  # [B, S]
-    bias = att.mask_to_bias(mask[:, None, None, :])  # [B, 1, 1, S]
-
-    x = embeds[:, None, :]  # [B, 1, h]
-    new_k_cache, new_v_cache = cache["k"], cache["v"]
-    rows = jnp.arange(B)
-    for li, layer in enumerate(params["layers"]):
-        h = nn.rmsnorm(layer["input_layernorm"], x, eps=config.rms_norm_eps)
-        q, k, v = _proj_qkv(layer["self_attn"], h, config)
-        q, k = att.apply_rope(q, k, cos, sin)
-        new_k_cache = new_k_cache.at[li, rows, write_at].set(k[:, 0])
-        new_v_cache = new_v_cache.at[li, rows, write_at].set(v[:, 0])
-        out = att.sdpa(q, new_k_cache[li], new_v_cache[li], bias=bias)
-        x = x + nn.linear(layer["self_attn"]["o_proj"], out.reshape(B, 1, -1))
-        x = x + _mlp(layer["mlp"], nn.rmsnorm(layer["post_attention_layernorm"], x, eps=config.rms_norm_eps))
-
-    x = nn.rmsnorm(params["norm"], x, eps=config.rms_norm_eps)
-    new_cache = {
-        "k": new_k_cache,
-        "v": new_v_cache,
-        "len": cache["len"] + advance.astype(jnp.int32),
-    }
-    return new_cache, x[:, 0]
-
-
 # -- checkpoint conversion ----------------------------------------------------
 
 def convert_torch(bag, config: DecoderConfig, prefix: str = "decoder"):

@@ -83,7 +83,6 @@ class Settings(BaseModel):
     RECOGNITION_MODEL_QUANTIZE: bool = False  # int8 KV cache (half the HBM)
     RECOGNITION_MAX_TOKENS: Optional[int] = None
     RECOGNITION_BATCH_SIZE: Optional[int] = None  # default 8 on cpu, 256 on tpu
-    RECOGNITION_CHUNK_SIZE: Optional[int] = None
     RECOGNITION_BENCH_DATASET_NAME: str = "vikp/rec_bench"
     RECOGNITION_PAD_VALUE: int = 255
     # TPU scheduling knobs: tokens decoded on-device per host visit, and the
@@ -131,12 +130,6 @@ class Settings(BaseModel):
         import jax.numpy as jnp
 
         return jnp.float32 if self.DEVICE == "cpu" else jnp.bfloat16
-
-    @cached_property
-    def FOUNDATION_CHUNK_SIZE(self) -> int:
-        """Max packed vision-encoder patches per call (reference: 32768 on
-        accelerators, 4096 on cpu — surya/recognition/__init__.py:83)."""
-        return 4096 if self.DEVICE == "cpu" else 32768
 
 
 def _build_settings() -> Settings:

@@ -18,9 +18,14 @@ def test_quantize_roundtrip():
     assert err < 0.02
 
 
-def test_quantized_decode_matches(monkeypatch):
-    """Greedy decode with int8 cache must emit the same tokens as bf16/fp32
-    for a well-conditioned tiny model."""
+def test_quantized_decode_matches():
+    """Decode with int8 cache must track the fp32-cache trajectory closely:
+    same greedy tokens AND close confidence scores. Comparing scores (not just
+    argmax) catches the class of bug where within-chunk KV is corrupted by an
+    unsafe cast into int8 chunk buffers — a tiny random model's argmax alone
+    is insensitive to that."""
+    import warnings
+
     import jax
     import jax.numpy as jnp
 
@@ -43,7 +48,17 @@ def test_quantized_decode_matches(monkeypatch):
         )
         new_k, new_v, _ = qwen_decoder.prefill(params["decoder"], dec, embeds, jnp.asarray(np.array([3, 3], np.int32)))
         cache = qwen_decoder.merge_prefill(cache, new_k, new_v, jnp.asarray(np.array([3, 3], np.int32)), jnp.arange(2))
-        _, toks, *_ = foundation.decode_chunk(params, cfg, cache, tokens, active, num_steps=6)
-        return np.asarray(toks)
+        # two chunks so the second chunk attends over COMMITTED (quantized)
+        # decode KV as well as fresh within-chunk KV
+        cache, t1, s1, *_rest, last, act = foundation.decode_chunk(params, cfg, cache, tokens, active, num_steps=3)
+        _, t2, s2, *_ = foundation.decode_chunk(params, cfg, cache, last, act, num_steps=3)
+        return np.concatenate([np.asarray(t1), np.asarray(t2)], 1), np.concatenate([np.asarray(s1), np.asarray(s2)], 1)
 
-    assert np.array_equal(run(False), run(True))
+    with warnings.catch_warnings():
+        # an int8 chunk buffer manifests as jax's "cannot safely cast" warning
+        warnings.filterwarnings("error", message=".*cannot safely cast.*")
+        toks_f, scores_f = run(False)
+        toks_q, scores_q = run(True)
+
+    assert np.array_equal(toks_f, toks_q)
+    np.testing.assert_allclose(scores_q, scores_f, atol=0.02)
