@@ -132,6 +132,7 @@ def decode_chunk(
     last_token: jnp.ndarray,  # [B] int32 input token per slot
     active: jnp.ndarray,  # [B] bool — slot is generating
     num_steps: int,
+    use_pallas=None,  # None = auto; False forces the jnp attention path (mesh)
 ):
     """Run up to num_steps greedy decode steps entirely on device.
 
@@ -156,7 +157,7 @@ def decode_chunk(
     # reference HQQ cache quantizes only on cache insertion,
     # surya/recognition/cache.py:112-186).
     compute_dtype = params["token_embed"]["embedding"].dtype
-    kv_shape = (dec.num_hidden_layers, B, K, dec.num_key_value_heads, dec.head_dim)
+    kv_shape = (dec.num_hidden_layers, B, dec.num_key_value_heads, K, dec.head_dim)
     chunk_k = jnp.zeros(kv_shape, compute_dtype)
     chunk_v = jnp.zeros(kv_shape, compute_dtype)
     base_len = cache["len"]
@@ -170,7 +171,8 @@ def decode_chunk(
         step, chunk_k, chunk_v, advance, last_token, active, tokens_buf, scores_buf, bbox_buf = state
         emb = nn.embedding(params["token_embed"], last_token)
         chunk_k, chunk_v, hidden = qwen_decoder.decode_step_chunked(
-            params["decoder"], dec, cache, chunk_k, chunk_v, emb, step, base_len
+            params["decoder"], dec, cache, chunk_k, chunk_v, emb, step, base_len,
+            use_pallas=use_pallas,
         )
         token, score, bbox = _sample_greedy(params, config, hidden)
 

@@ -4,12 +4,14 @@ TPU-native re-design of the reference decoder
 (surya/common/surya/decoder/__init__.py:137-490). Differences from the torch
 version, all driven by XLA's static-shape model:
 
-  - the KV cache is a preallocated slot array [layers, slots, max_seq, kvh, hd]
+  - the KV cache is a preallocated slot array [layers, slots, kvh, max_seq, hd]
     with a per-slot length counter. Sequences are LEFT-ALIGNED (position 0 at
     cache row 0) instead of the reference's left-padding + merge/trim dance
     (surya/recognition/cache.py:39-105): prefill writes rows [0, len), decode
     appends at cache_len, attention masks rows >= cache_len. Nothing is ever
-    re-packed, so shapes never change.
+    re-packed, so shapes never change. Rows are stored HEAD-MAJOR
+    ([kvh, max_seq, hd]) so the decode kernel's per-(slot, head) cache blocks
+    are single contiguous DMAs.
   - prefill uses right padding + a pure causal mask (valid tokens only attend
     valid predecessors by construction), and the last-token hidden state is
     gathered at seq_len-1 per row.
@@ -72,11 +74,11 @@ def init_params(config: DecoderConfig, key, dtype=jnp.float32):
 
 
 def init_cache(config: DecoderConfig, n_slots: int, max_seq: int, dtype, quantize: bool = False):
-    """Slot KV cache; quantize=True stores int8 values with per-(slot, row,
-    head) scales — half the HBM footprint/bandwidth of bf16 (the TPU
-    counterpart of the reference's HQQ quantized cache,
-    surya/recognition/cache.py:112-186)."""
-    shape = (config.num_hidden_layers, n_slots, max_seq, config.num_key_value_heads, config.head_dim)
+    """Slot KV cache [layers, slots, kvh, max_seq, hd]; quantize=True stores
+    int8 values with per-(slot, head, row) scales — half the HBM
+    footprint/bandwidth of bf16 (the TPU counterpart of the reference's HQQ
+    quantized cache, surya/recognition/cache.py:112-186)."""
+    shape = (config.num_hidden_layers, n_slots, config.num_key_value_heads, max_seq, config.head_dim)
     cache = {"len": jnp.zeros((n_slots,), jnp.int32)}
     if quantize:
         cache["k"] = jnp.zeros(shape, jnp.int8)
@@ -99,16 +101,6 @@ def quantize_kv(x):
 
 def dequantize_kv(q, scale, dtype):
     return (q.astype(jnp.float32) * scale.astype(jnp.float32)[..., None]).astype(dtype)
-
-
-def cache_read(cache: dict, li: int, dtype):
-    """Layer li's (k, v) in compute dtype, dequantizing if needed."""
-    if "k_scale" in cache:
-        return (
-            dequantize_kv(cache["k"][li], cache["k_scale"][li], dtype),
-            dequantize_kv(cache["v"][li], cache["v_scale"][li], dtype),
-        )
-    return cache["k"][li], cache["v"][li]
 
 
 def _rope_cos_sin(config: DecoderConfig, positions: jnp.ndarray):
@@ -161,19 +153,23 @@ def prefill(params, config: DecoderConfig, embeds: jnp.ndarray, seq_lens: jnp.nd
 
 def merge_prefill(cache: dict, new_k, new_v, seq_lens, slot_idx):
     """Scatter a prefill's KV rows into cache slots (left-aligned) and set the
-    slot lengths. slot_idx: [B] target slot per prefill row."""
+    slot lengths. new_k/new_v: [layers, B, L, kvh, hd] (prefill layout);
+    slot_idx: [B] target slot per prefill row."""
     L = new_k.shape[2]
+    # prefill layout [layers, B, L, kvh, hd] -> cache layout [layers, B, kvh, L, hd]
+    new_k = new_k.transpose(0, 1, 3, 2, 4)
+    new_v = new_v.transpose(0, 1, 3, 2, 4)
     out = dict(cache)
     if "k_scale" in cache:
         qk, sk = quantize_kv(new_k)
         qv, sv = quantize_kv(new_v)
-        out["k"] = cache["k"].at[:, slot_idx, :L].set(qk)
-        out["v"] = cache["v"].at[:, slot_idx, :L].set(qv)
-        out["k_scale"] = cache["k_scale"].at[:, slot_idx, :L].set(sk)
-        out["v_scale"] = cache["v_scale"].at[:, slot_idx, :L].set(sv)
+        out["k"] = cache["k"].at[:, slot_idx, :, :L].set(qk)
+        out["v"] = cache["v"].at[:, slot_idx, :, :L].set(qv)
+        out["k_scale"] = cache["k_scale"].at[:, slot_idx, :, :L].set(sk)
+        out["v_scale"] = cache["v_scale"].at[:, slot_idx, :, :L].set(sv)
     else:
-        out["k"] = cache["k"].at[:, slot_idx, :L].set(new_k)
-        out["v"] = cache["v"].at[:, slot_idx, :L].set(new_v)
+        out["k"] = cache["k"].at[:, slot_idx, :, :L].set(new_k)
+        out["v"] = cache["v"].at[:, slot_idx, :, :L].set(new_v)
     out["len"] = cache["len"].at[slot_idx].set(seq_lens)
     return out
 
@@ -182,43 +178,51 @@ def decode_step_chunked(
     params,
     config: DecoderConfig,
     cache: dict,
-    chunk_k: jnp.ndarray,  # [layers, B, K, kvh, hd] — this chunk's KV buffer
+    chunk_k: jnp.ndarray,  # [layers, B, kvh, K, hd] — this chunk's KV buffer
     chunk_v: jnp.ndarray,
     embeds: jnp.ndarray,  # [B, hidden]
     step: jnp.ndarray,  # scalar: index within the chunk
     base_len: jnp.ndarray,  # [B] cache length at chunk start (frozen)
+    use_pallas=None,  # None = auto from settings; False forced under a mesh
 ):
     """One decode token with the big cache READ-ONLY.
 
     New KV lands in the small chunk buffer at column `step` (a dynamic-update
-    -slice, identical index for every row). Attention merges two pieces by
-    log-sum-exp: the frozen cache (rows < base_len) and the chunk buffer
-    (cols <= step). Writing the big [layers, slots, max_seq] cache per step
-    costs a full-array copy per layer inside lax.while_loop — this layout
-    makes the hot loop write only the K-column buffer; the caller commits the
-    chunk to the cache once at the end (commit_chunk).
+    -slice, identical index for every row). Attention merges two pieces —
+    the frozen cache (rows < base_len) and the chunk buffer (cols <= step) —
+    via the fused GQA decode kernel (surya_tpu/ops/decode_attn.py). Writing
+    the big [layers, slots, kvh, max_seq] cache per step costs a full-array
+    copy per layer inside lax.while_loop — this layout makes the hot loop
+    write only the K-column buffer; the caller commits the chunk to the cache
+    once at the end (commit_chunk).
 
     Returns (chunk_k, chunk_v, hidden [B, hidden]).
     """
+    from surya_tpu.ops import decode_attn
+
     B = embeds.shape[0]
-    K = chunk_k.shape[2]
-    S = cache["k"].shape[2]
     pos = base_len + step
     cos, sin = _rope_cos_sin(config, pos.astype(jnp.float32)[:, None])
     cos, sin = cos[:, :, None, :], sin[:, :, None, :]
 
-    cache_bias = att.mask_to_bias((jnp.arange(S)[None, :] < base_len[:, None])[:, None, None, :])
-    chunk_bias = att.mask_to_bias((jnp.arange(K)[None, :] <= step)[:, None, None, :])
-
+    quantized = "k_scale" in cache
     x = embeds[:, None, :]
     for li, layer in enumerate(params["layers"]):
         h = nn.rmsnorm(layer["input_layernorm"], x, eps=config.rms_norm_eps)
         q, k, v = _proj_qkv(layer["self_attn"], h, config)
         q, k = att.apply_rope(q, k, cos, sin)
-        chunk_k = chunk_k.at[li, :, step].set(k[:, 0])
-        chunk_v = chunk_v.at[li, :, step].set(v[:, 0])
-        ck, cv = cache_read(cache, li, k.dtype)
-        out = att.sdpa_two_piece(q, ck, cv, cache_bias, chunk_k[li], chunk_v[li], chunk_bias)
+        chunk_k = chunk_k.at[li, :, :, step].set(k[:, 0])
+        chunk_v = chunk_v.at[li, :, :, step].set(v[:, 0])
+        # the FULL cache/chunk arrays go in; the layer is selected inside the
+        # kernel's index maps (slicing [li] here would materialize a per-layer
+        # copy of the whole cache as the pallas operand every step)
+        out = decode_attn.gqa_decode(
+            q[:, 0], cache["k"], cache["v"], base_len,
+            chunk_k, chunk_v, step, li,
+            k_scale=cache["k_scale"] if quantized else None,
+            v_scale=cache["v_scale"] if quantized else None,
+            use_pallas=use_pallas,
+        )
         x = x + nn.linear(layer["self_attn"]["o_proj"], out.reshape(B, 1, -1))
         x = x + _mlp(layer["mlp"], nn.rmsnorm(layer["post_attention_layernorm"], x, eps=config.rms_norm_eps))
 
@@ -227,25 +231,27 @@ def decode_step_chunked(
 
 
 def commit_chunk(cache: dict, chunk_k, chunk_v, base_len, advance):
-    """Scatter a finished chunk's KV into the slot cache at rows
-    [base_len, base_len + K) per slot and advance the lengths by each slot's
-    active-step count. Garbage columns (steps after a slot finished) land
-    beyond the new length and stay masked."""
-    K = chunk_k.shape[2]
-    S = cache["k"].shape[2]
-    rows = jnp.arange(cache["k"].shape[1])[:, None]
-    cols = jnp.minimum(base_len[:, None] + jnp.arange(K)[None, :], S - 1)
+    """Scatter a finished chunk's KV ([layers, B, kvh, K, hd]) into the slot
+    cache at rows [base_len, base_len + K) per slot and advance the lengths
+    by each slot's active-step count. Garbage columns (steps after a slot
+    finished) land beyond the new length and stay masked."""
+    K = chunk_k.shape[3]
+    S = cache["k"].shape[3]
+    kvh = chunk_k.shape[2]
+    slots = jnp.arange(cache["k"].shape[1])[:, None, None]  # [B, 1, 1]
+    heads = jnp.arange(kvh)[None, :, None]  # [1, kvh, 1]
+    rows = jnp.minimum(base_len[:, None, None] + jnp.arange(K)[None, None, :], S - 1)  # [B, 1, K]
     out = dict(cache)
     if "k_scale" in cache:
         qk, sk = quantize_kv(chunk_k)
         qv, sv = quantize_kv(chunk_v)
-        out["k"] = cache["k"].at[:, rows, cols].set(qk)
-        out["v"] = cache["v"].at[:, rows, cols].set(qv)
-        out["k_scale"] = cache["k_scale"].at[:, rows, cols].set(sk)
-        out["v_scale"] = cache["v_scale"].at[:, rows, cols].set(sv)
+        out["k"] = cache["k"].at[:, slots, heads, rows].set(qk)
+        out["v"] = cache["v"].at[:, slots, heads, rows].set(qv)
+        out["k_scale"] = cache["k_scale"].at[:, slots, heads, rows].set(sk)
+        out["v_scale"] = cache["v_scale"].at[:, slots, heads, rows].set(sv)
     else:
-        out["k"] = cache["k"].at[:, rows, cols].set(chunk_k)
-        out["v"] = cache["v"].at[:, rows, cols].set(chunk_v)
+        out["k"] = cache["k"].at[:, slots, heads, rows].set(chunk_k)
+        out["v"] = cache["v"].at[:, slots, heads, rows].set(chunk_v)
     out["len"] = cache["len"] + advance.astype(jnp.int32)
     return out
 

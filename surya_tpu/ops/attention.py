@@ -65,36 +65,6 @@ def sdpa(
     return out.reshape(B, Sq, H, D)
 
 
-def sdpa_two_piece(q, k1, v1, bias1, k2, v2, bias2, scale: Optional[float] = None):
-    """Attention over two key/value sets merged by log-sum-exp — used for
-    decode where piece 1 is a large FROZEN cache (read-only) and piece 2 a
-    small per-chunk buffer. Equivalent to attention over their concatenation
-    without materializing it. q: [B, 1, H, D]; k/v: [B, S*, Hkv, D]; biases
-    additive, broadcastable to [B, 1, 1, S*]."""
-    if scale is None:
-        scale = q.shape[-1] ** -0.5
-    B, Sq, H, D = q.shape
-    n_kv = k1.shape[2]
-    n_rep = H // n_kv
-    qg = q.reshape(B, Sq, n_kv, n_rep, D)
-
-    def piece(k, v, bias):
-        logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k).astype(jnp.float32) * scale
-        logits = logits + bias[:, :, None] if bias.ndim == 4 else logits + bias
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        return logits, m, k, v
-
-    l1, m1, _, _ = piece(k1, v1, bias1)
-    l2, m2, _, _ = piece(k2, v2, bias2)
-    m = jnp.maximum(m1, m2)
-    e1 = jnp.exp(l1 - m)
-    e2 = jnp.exp(l2 - m)
-    denom = jnp.sum(e1, axis=-1, keepdims=True) + jnp.sum(e2, axis=-1, keepdims=True)
-    o1 = jnp.einsum("bhgqk,bkhd->bqhgd", (e1 / denom).astype(v1.dtype), v1)
-    o2 = jnp.einsum("bhgqk,bkhd->bqhgd", (e2 / denom).astype(v2.dtype), v2)
-    return (o1 + o2).reshape(B, Sq, H, D)
-
-
 def rotate_half(x: jnp.ndarray) -> jnp.ndarray:
     half = x.shape[-1] // 2
     return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)

@@ -79,11 +79,12 @@ def cache_sharding(mesh: Mesh) -> dict:
     k/v projections). Includes int8-cache scale specs."""
     use_tp = mesh.shape[MODEL_AXIS] > 1
     head = MODEL_AXIS if use_tp else None
-    kv_spec = P(None, DATA_AXIS, None, head, None)
+    # cache layout [layers, slots, kvh, max_seq, hd]
+    kv_spec = P(None, DATA_AXIS, head, None, None)
     return {
         "k": NamedSharding(mesh, kv_spec),
         "v": NamedSharding(mesh, kv_spec),
-        "k_scale": NamedSharding(mesh, P(None, DATA_AXIS, None, head)),
-        "v_scale": NamedSharding(mesh, P(None, DATA_AXIS, None, head)),
+        "k_scale": NamedSharding(mesh, P(None, DATA_AXIS, head, None)),
+        "v_scale": NamedSharding(mesh, P(None, DATA_AXIS, head, None)),
         "len": NamedSharding(mesh, P(DATA_AXIS)),
     }

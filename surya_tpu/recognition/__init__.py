@@ -147,10 +147,14 @@ class RecognitionPredictor(BasePredictor):
                 axis=-1,
             )
 
+        # pallas_call does not auto-partition under a sharded mesh — force the
+        # jnp attention path there; single-device uses the fused decode kernel
+        use_pallas = None if self.mesh is None else False
+
         @partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(1,))
         def decode_fn(params, cache, last_token, active, num_steps):
             cache, toks, scores, bboxes, _, _ = foundation.decode_chunk(
-                params, cfg, cache, last_token, active, num_steps
+                params, cfg, cache, last_token, active, num_steps, use_pallas=use_pallas
             )
             return cache, _pack(toks, scores, bboxes)
 
@@ -177,7 +181,7 @@ class RecognitionPredictor(BasePredictor):
             last_token = last_token.at[slot_idx].set(jnp.where(row_valid, lt_new, last_token[slot_idx]))
             active = active.at[slot_idx].set(jnp.where(row_valid, ~done0, active[slot_idx]))
             cache, toks, scores, bboxes, _, _ = foundation.decode_chunk(
-                params, cfg, cache, last_token, active, num_steps
+                params, cfg, cache, last_token, active, num_steps, use_pallas=use_pallas
             )
             return cache, prefill_packed, _pack(toks, scores, bboxes)
 

@@ -8,6 +8,10 @@ jax is imported anywhere.
 import os
 import sys
 
+# stash the original TPU-tunnel trigger so the TPU-tier tests
+# (tests/test_tpu_compiled.py) can restore it in their subprocesses
+os.environ.setdefault("_SURYA_ORIG_POOL_IPS", os.environ.get("PALLAS_AXON_POOL_IPS", ""))
+
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ["PALLAS_AXON_POOL_IPS"] = ""  # for child processes
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
