@@ -47,6 +47,7 @@ from surya_tpu.recognition.postprocessing import fix_unbalanced_tags
 from surya_tpu.recognition.schema import OCRResult, TextChar, TextLine
 from surya_tpu.recognition.tokenizer import NOMATH_TOKEN, TaskNames
 from surya_tpu.recognition.util import (
+    chunk_stop_scan,
     clean_close_polygons,
     clean_math_tags,
     detect_repeat_token,
@@ -329,28 +330,36 @@ class RecognitionPredictor(BasePredictor):
             pbar.update(1)
 
         def process_decode(packed):
+            # vectorized stop-scan over the [slots, K] chunk: Python runs only
+            # per-slot (extend + finish events), never per-token
             toks = packed[..., 0].astype(np.int32)
             chunk_scores = packed[..., 1]
             chunk_bboxes = packed[..., 2:]
-            for slot in range(n_slots):
-                pid = slot_prompt[slot]
-                if pid is None or not active[slot]:
-                    continue
-                for j in range(self.decode_chunk):
-                    t = int(toks[slot, j])
-                    predicted_tokens[pid].append(t)
-                    scores[pid].append(float(chunk_scores[slot, j]))
-                    bboxes[pid].append(chunk_bboxes[slot, j])
-                    stop = (
-                        t in (eos, pad)
-                        or len(predicted_tokens[pid]) >= max_tokens[pid]
-                        or detect_repeat_token(predicted_tokens[pid])
-                    )
-                    if stop:
-                        finish(slot)
-                        break
+            act = [s for s in range(n_slots) if slot_prompt[s] is not None and active[s]]
+            if not act:
+                return
+            K = self.decode_chunk
+            W = 40  # detect_repeat_token window (max_repeats)
+            A = len(act)
+            ctoks = toks[act, :K]
+            prior = np.array([len(predicted_tokens[slot_prompt[s]]) for s in act])
+            budget = np.array([max_tokens[slot_prompt[s]] for s in act])
+            tails = np.full((A, W - 1), -1, np.int32)
+            for i, s in enumerate(act):
+                h = predicted_tokens[slot_prompt[s]][-(W - 1):]
+                if h:
+                    tails[i, -len(h):] = h
+            any_stop, cut = chunk_stop_scan(ctoks, prior, budget, tails, eos, pad, W)
+            for i, s in enumerate(act):
+                pid = slot_prompt[s]
+                k = int(cut[i]) + 1
+                predicted_tokens[pid].extend(ctoks[i, :k].tolist())
+                scores[pid].extend(chunk_scores[s, :k].tolist())
+                bboxes[pid].append(chunk_bboxes[s, :k])
+                if any_stop[i]:
+                    finish(s)
                 else:
-                    last_token[slot] = int(toks[slot, self.decode_chunk - 1])
+                    last_token[s] = int(ctoks[i, K - 1])
 
         while queue or any(p is not None for p in slot_prompt):
             frees = free_slots()
@@ -448,7 +457,7 @@ class RecognitionPredictor(BasePredictor):
                     t = int(tok0[row])
                     predicted_tokens[pid].append(t)
                     scores[pid].append(0.0 if t in (eos, pad) else float(score0[row]))
-                    bboxes[pid].append(bbox0[row])
+                    bboxes[pid].append(bbox0[row : row + 1])
                     if t in (eos, nop):  # reference prefill done-check :571-576
                         finish(slot)
                     else:
@@ -475,11 +484,12 @@ class RecognitionPredictor(BasePredictor):
 
         pbar.close()
 
-        max_len = max((len(b) for b in bboxes), default=1)
+        max_len = max((sum(b.shape[0] for b in bs) for bs in bboxes if bs), default=1)
         bbox_arr = np.zeros((n, max(max_len, 1), 6), np.float32)
         for i, bs in enumerate(bboxes):
             if bs:
-                bbox_arr[i, : len(bs)] = np.stack(bs)
+                cat = np.concatenate(bs, axis=0)
+                bbox_arr[i, : len(cat)] = cat
         return predicted_tokens, bbox_arr, scores
 
     # -- detokenization / assembly (host; reference :609-771) ---------------

@@ -69,6 +69,46 @@ def detect_repeat_token(predicted_tokens: List[int], max_repeats: int = 40) -> b
     return last_n[-unique:] == last_n[-unique * 2 : -unique]
 
 
+def chunk_stop_scan(
+    ctoks: np.ndarray,
+    prior: np.ndarray,
+    budget: np.ndarray,
+    tails: np.ndarray,
+    eos: int,
+    pad: int,
+    max_repeats: int = 40,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-chunk stop detection for the decode scheduler.
+
+    For each row of ``ctoks`` [A, K], find the first step where generation
+    must stop: EOS/pad emitted (token kept), token budget filled, or the
+    repeat heuristic fires — identical semantics to running
+    ``detect_repeat_token`` after appending each token (reference
+    surya/recognition/__init__.py:583-595 does this one token at a time).
+
+    prior/budget: [A] tokens already emitted / per-prompt max_tokens.
+    tails: [A, max_repeats-1] last history tokens, -1 sentinel padded on the
+    left (windows reaching a sentinel are gated out by the length check).
+    Returns (any_stop [A] bool, cut [A] last kept step index)."""
+    A, K = ctoks.shape
+    W = max_repeats
+    step = np.arange(1, K + 1)[None, :]
+    prior = prior[:, None]
+    stop = np.isin(ctoks, (eos, pad)) | (prior + step >= budget[:, None])
+    win = np.lib.stride_tricks.sliding_window_view(
+        np.concatenate([tails, ctoks], axis=1), W, axis=1
+    )  # [A, K, W]: the W-token window ending at each step
+    uniq = (np.diff(np.sort(win, -1), axis=-1) != 0).sum(-1) + 1
+    rep = np.zeros((A, K), bool)
+    for u in range(1, 6):
+        m = (win[..., W - u :] == win[..., W - 2 * u : W - u]).all(-1)
+        rep |= (uniq == u) & m
+    stop |= rep & (prior + step >= W)
+    any_stop = stop.any(1)
+    cut = np.where(any_stop, stop.argmax(1), K - 1)
+    return any_stop, cut
+
+
 def sort_text_lines(lines: List[TextLine] | List[dict], tolerance: float = 1.25):
     """Approximate reading order: group by rows, sort left-to-right
     (reference :73-96, including its group-key quirk)."""
