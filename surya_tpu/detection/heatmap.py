@@ -22,10 +22,13 @@ from surya_tpu.settings import settings
 
 def get_dynamic_thresholds(linemap, text_threshold, low_text, typical_top10_avg=0.7):
     """Scale thresholds by the page's top-10% mean intensity so washed-out
-    scans still segment (reference :14-24)."""
+    scans still segment (reference :14-24). Accepts float [0,1] or uint8
+    (value*255) maps."""
     flat = linemap.ravel()
     top10_start = int(len(flat) * 0.9)
     avg_intensity = np.mean(np.partition(flat, top10_start)[top10_start:])
+    if linemap.dtype == np.uint8:
+        avg_intensity = avg_intensity / 255.0
     scaling = np.clip(avg_intensity / typical_top10_avg, 0, 1) ** 0.5
 
     low_text = np.clip(low_text * scaling, 0.1, 0.6)
@@ -50,6 +53,9 @@ def detect_boxes(linemap, text_threshold, low_text):
                 confs = confs / max_conf
             return list(quads), [float(c) for c in confs]
 
+    # fallback (OpenCV) path works in float [0,1]
+    if linemap.dtype == np.uint8:
+        linemap = linemap.astype(np.float32) / 255.0
     binary = (linemap > low_text).astype(np.uint8)
     label_count, labels, stats, _ = cv2.connectedComponentsWithStats(binary, connectivity=4)
 
@@ -111,7 +117,7 @@ def get_detected_boxes(textmap, text_threshold=None, low_text=None) -> List[Poly
         text_threshold = settings.DETECTOR_TEXT_THRESHOLD
     if low_text is None:
         low_text = settings.DETECTOR_BLANK_THRESHOLD
-    if textmap.dtype != np.float32:
+    if textmap.dtype not in (np.float32, np.uint8):
         textmap = textmap.astype(np.float32)
 
     boxes, confidences = detect_boxes(textmap, text_threshold, low_text)
@@ -128,13 +134,17 @@ def get_and_clean_boxes(
     return clean_boxes(boxes)
 
 
+def _map_to_image(m: np.ndarray) -> Image.Image:
+    return Image.fromarray(m if m.dtype == np.uint8 else (m * 255).astype(np.uint8))
+
+
 def parallel_get_boxes(preds, orig_sizes, include_maps=False) -> TextDetectionResult:
     heatmap, affinity_map = preds[0], preds[1] if len(preds) > 1 else None
     heat_img = aff_img = None
     if include_maps:
-        heat_img = Image.fromarray((heatmap * 255).astype(np.uint8))
+        heat_img = _map_to_image(heatmap)
         if affinity_map is not None:
-            aff_img = Image.fromarray((affinity_map * 255).astype(np.uint8))
+            aff_img = _map_to_image(affinity_map)
 
     heatmap_size = list(reversed(heatmap.shape))
     bboxes = get_and_clean_boxes(heatmap, heatmap_size, orig_sizes)
@@ -156,8 +166,10 @@ def parallel_get_lines(preds, orig_sizes, include_maps=False) -> TextDetectionRe
     heatmap, affinity_map = preds
     heat_img = aff_img = None
     if include_maps:
-        heat_img = Image.fromarray((heatmap * 255).astype(np.uint8))
-        aff_img = Image.fromarray((affinity_map * 255).astype(np.uint8))
+        heat_img = _map_to_image(heatmap)
+        aff_img = _map_to_image(affinity_map)
+    if affinity_map.dtype == np.uint8:
+        affinity_map = affinity_map.astype(np.float32) / 255.0
 
     affinity_size = list(reversed(affinity_map.shape))
     heatmap_size = list(reversed(heatmap.shape))

@@ -49,6 +49,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_float, ctypes.c_float,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float), ctypes.c_int,
     ]
+    lib.craft_extract_boxes_u8.restype = ctypes.c_int
+    lib.craft_extract_boxes_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+    ]
     return lib
 
 
@@ -66,15 +72,22 @@ def craft_ops() -> Optional[ctypes.CDLL]:
 
 
 def extract_boxes(linemap: np.ndarray, text_threshold: float, low_text: float, max_boxes: int = 1024):
-    """Native CRAFT box extraction. Returns (quads [n, 4, 2], confidences [n])."""
+    """Native CRAFT box extraction. Accepts a float32 [0,1] or uint8
+    (value*255) heatmap — thresholds and confidences are always in [0,1].
+    Returns (quads [n, 4, 2], confidences [n])."""
     lib = craft_ops()
     assert lib is not None
-    linemap = np.ascontiguousarray(linemap, np.float32)
-    h, w = linemap.shape
     quads = np.zeros((max_boxes, 8), np.float32)
     confs = np.zeros((max_boxes,), np.float32)
-    n = lib.craft_extract_boxes(
-        linemap.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), h, w,
+    if linemap.dtype == np.uint8:
+        linemap = np.ascontiguousarray(linemap)
+        fn, ptr = lib.craft_extract_boxes_u8, ctypes.POINTER(ctypes.c_uint8)
+    else:
+        linemap = np.ascontiguousarray(linemap, np.float32)
+        fn, ptr = lib.craft_extract_boxes, ctypes.POINTER(ctypes.c_float)
+    h, w = linemap.shape
+    n = fn(
+        linemap.ctypes.data_as(ptr), h, w,
         ctypes.c_float(text_threshold), ctypes.c_float(low_text),
         quads.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         confs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_boxes,

@@ -12,7 +12,12 @@
 //                           float text_threshold, float low_text,
 //                           float* out_quads /*[max_boxes*8]*/,
 //                           float* out_confs /*[max_boxes]*/, int max_boxes);
-// Returns the number of boxes written.
+//   int craft_extract_boxes_u8(const uint8_t* linemap, ...same...);
+// Returns the number of boxes written. The u8 variant takes the quantized
+// heatmap (value = round(p * 255)) with thresholds still in [0, 1] and
+// reports confidences back in [0, 1] — the detection D2H path ships uint8
+// maps, and on a single-core host the float32 expansion of a full page map
+// costs more than this whole routine.
 
 #include <algorithm>
 #include <cmath>
@@ -98,13 +103,16 @@ static void min_area_rect(const std::vector<Point>& points, Point out[4]) {
     }
 }
 
-}  // namespace
-
-extern "C" int craft_extract_boxes(
-    const float* linemap, int h, int w,
-    float text_threshold, float low_text,
+// One pipeline for float ([0,1]) and uint8 (value*255) maps: thresholds come
+// in [0,1] and are scaled to the pixel domain; confidences scale back.
+template <typename T>
+static int extract_boxes_impl(
+    const T* linemap, int h, int w,
+    float text_threshold, float low_text, float pixel_scale,
     float* out_quads, float* out_confs, int max_boxes) {
     const int64_t total = static_cast<int64_t>(h) * w;
+    text_threshold *= pixel_scale;
+    low_text *= pixel_scale;
 
     // 1) threshold + two-pass 4-connected components with union-find
     std::vector<int32_t> labels(total, 0);
@@ -182,7 +190,8 @@ extern "C" int craft_extract_boxes(
         for (int y = sy; y < ey; y++) {
             const int64_t row = static_cast<int64_t>(y) * w;
             for (int x = sx; x < ex2; x++) {
-                if (labels[row + x] == comp) line_max = std::max(line_max, linemap[row + x]);
+                if (labels[row + x] == comp)
+                    line_max = std::max(line_max, static_cast<float>(linemap[row + x]));
             }
         }
         if (line_max < text_threshold) continue;
@@ -255,8 +264,26 @@ extern "C" int craft_extract_boxes(
             out_quads[n_out * 8 + 2 * i] = p.x;
             out_quads[n_out * 8 + 2 * i + 1] = p.y;
         }
-        out_confs[n_out] = line_max;
+        out_confs[n_out] = line_max / pixel_scale;
         n_out++;
     }
     return n_out;
+}
+
+}  // namespace
+
+extern "C" int craft_extract_boxes(
+    const float* linemap, int h, int w,
+    float text_threshold, float low_text,
+    float* out_quads, float* out_confs, int max_boxes) {
+    return extract_boxes_impl<float>(
+        linemap, h, w, text_threshold, low_text, 1.0f, out_quads, out_confs, max_boxes);
+}
+
+extern "C" int craft_extract_boxes_u8(
+    const uint8_t* linemap, int h, int w,
+    float text_threshold, float low_text,
+    float* out_quads, float* out_confs, int max_boxes) {
+    return extract_boxes_impl<uint8_t>(
+        linemap, h, w, text_threshold, low_text, 255.0f, out_quads, out_confs, max_boxes);
 }

@@ -85,3 +85,32 @@ def test_native_random_noise_agreement():
     finally:
         settings.USE_NATIVE_POSTPROCESS = old
     assert len(nat_boxes) == len(cv_boxes)
+
+
+def test_native_uint8_matches_float():
+    """The uint8 entry (quantized D2H maps) matches the float entry on the
+    same heatmap quantized to value*255."""
+    from surya_tpu import native
+
+    if native.craft_ops() is None:
+        pytest.skip("native craft_ops did not build")
+
+    heat = _synthetic_heatmap(seed=7)
+    heat_u8 = np.round(heat * 255.0).astype(np.uint8)
+    # evaluate the float path on the SAME quantized values so component
+    # structure is identical; only the pixel domain differs
+    f_boxes, f_confs = native.extract_boxes(heat_u8.astype(np.float32) / 255.0, 0.6, 0.35)
+    u_boxes, u_confs = native.extract_boxes(heat_u8, 0.6, 0.35)
+    assert len(u_boxes) == len(f_boxes) > 0
+    np.testing.assert_allclose(np.asarray(u_boxes), np.asarray(f_boxes), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(u_confs), np.asarray(f_confs), atol=1e-5)
+
+
+def test_dynamic_thresholds_uint8_matches_float():
+    from surya_tpu.detection.heatmap import get_dynamic_thresholds
+
+    heat = _synthetic_heatmap(seed=9)
+    heat_u8 = np.round(heat * 255.0).astype(np.uint8)
+    tf, lf = get_dynamic_thresholds(heat_u8.astype(np.float32) / 255.0, 0.6, 0.35)
+    tu, lu = get_dynamic_thresholds(heat_u8, 0.6, 0.35)
+    assert abs(tf - tu) < 1e-6 and abs(lf - lu) < 1e-6
