@@ -72,6 +72,50 @@ def test_meshed_recognition_predictor(test_image=None):
         settings.USE_MESH = old
 
 
+def test_meshed_tp_recognition_predictor():
+    """End-to-end RecognitionPredictor with tensor parallelism
+    (MESH_NUM_MODEL_SHARDS=2, 4x2 mesh): output must match the
+    single-device run on the same tiny seeded model."""
+    import jax
+    from PIL import Image, ImageDraw
+
+    from surya_tpu.settings import settings
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    img = Image.new("RGB", (512, 256), "white")
+    ImageDraw.Draw(img).text((10, 10), "tp mesh test line", fill="black", font_size=24)
+    bboxes = [[[5, 5, 200, 40], [5, 60, 300, 100]]]
+
+    from surya_tpu.recognition import RecognitionPredictor
+
+    single = RecognitionPredictor(tiny=True)
+    single.batch_size = 15
+    base = single([img], bboxes=bboxes)
+
+    old_mesh, old_tp = settings.USE_MESH, settings.MESH_NUM_MODEL_SHARDS
+    settings.USE_MESH = True
+    settings.MESH_NUM_MODEL_SHARDS = 2
+    try:
+        pred = RecognitionPredictor(tiny=True)
+        pred.batch_size = 15
+        pred.n_slots = 15  # +1 trash slot = 16, divisible by data axis (4)
+        pred.prefill_rows = 8
+        pred.patch_caps = (1024, 4096)
+        results = pred([img], bboxes=bboxes)
+        assert pred.mesh is not None
+        assert dict(pred.mesh.shape) == {"data": 4, "model": 2}
+    finally:
+        settings.USE_MESH = old_mesh
+        settings.MESH_NUM_MODEL_SHARDS = old_tp
+
+    assert len(results) == 1 and len(results[0].text_lines) == 2
+    for tl_tp, tl_single in zip(results[0].text_lines, base[0].text_lines):
+        assert tl_tp.text == tl_single.text
+        assert abs(tl_tp.confidence - tl_single.confidence) < 1e-3
+
+
 def test_dryrun_multichip_step():
     """The driver's dry run: full prefill + decode chunk over a dp+tp mesh."""
     import jax
