@@ -59,3 +59,16 @@ def test_draw_helpers():
     assert out.size == (100, 100)
     out2 = draw_text_on_image([[10, 10, 90, 40]], ["hello"], (100, 100))
     assert out2.size == (100, 100)
+
+
+def test_streamlit_app_helpers():
+    """GUI module parses without streamlit; pure helpers behave like the
+    reference's ocr_errors aggregation (surya/scripts/streamlit_app.py:54-58)."""
+    from surya_tpu.scripts.streamlit_app import classify_pdf_text_quality
+
+    assert classify_pdf_text_quality([]) == "This PDF has no text or very little text"
+    assert classify_pdf_text_quality(["good"] * 9 + ["bad"]) == "This PDF has good text."
+    assert (
+        classify_pdf_text_quality(["good", "bad", "bad"])
+        == "This PDF may have garbled or bad OCR text."
+    )
