@@ -20,7 +20,8 @@ from surya_tpu.settings import settings
 @click.option("--results_dir", type=str, default=os.path.join(settings.RESULT_DIR, "benchmark"))
 @click.option("--max_rows", type=int, default=100)
 @click.option("--synthetic", is_flag=True, default=False, help="Use synthetic pages (no dataset download).")
-def main(results_dir: str, max_rows: int, synthetic: bool):
+@click.option("--tesseract", is_flag=True, default=False, help="Also run the tesseract baseline.")
+def main(results_dir: str, max_rows: int, synthetic: bool, tesseract: bool):
     det_predictor = DetectionPredictor()
 
     if synthetic:
@@ -51,15 +52,30 @@ def main(results_dir: str, max_rows: int, synthetic: bool):
     }
     mean_metrics["surya"]["time_per_image"] = surya_time / len(images)
 
+    if tesseract:
+        from benchmark.utils.tesseract import tesseract_parallel
+
+        start = time.time()
+        tess_preds = tesseract_parallel(images)
+        tess_time = time.time() - start
+        for idx, (boxes, ref) in enumerate(zip(tess_preds, correct_boxes)):
+            page_metrics[idx]["tesseract"] = precision_recall(boxes, ref)
+        mean_metrics["tesseract"] = {
+            k: sum(page_metrics[i]["tesseract"][k] for i in page_metrics) / len(page_metrics)
+            for k in ("precision", "recall")
+        }
+        mean_metrics["tesseract"]["time_per_image"] = tess_time / len(images)
+
     out = {"metrics": mean_metrics, "page_metrics": page_metrics}
     os.makedirs(results_dir, exist_ok=True)
     with open(os.path.join(results_dir, "det_bench.json"), "w") as f:
         json.dump(out, f, indent=2)
 
-    print(tabulate(
-        [["surya", mean_metrics["surya"]["precision"], mean_metrics["surya"]["recall"], mean_metrics["surya"]["time_per_image"]]],
-        headers=["model", "precision", "recall", "time/image (s)"],
-    ))
+    rows = [
+        [m, mean_metrics[m]["precision"], mean_metrics[m]["recall"], mean_metrics[m]["time_per_image"]]
+        for m in mean_metrics
+    ]
+    print(tabulate(rows, headers=["model", "precision", "recall", "time/image (s)"]))
 
 
 if __name__ == "__main__":

@@ -19,9 +19,12 @@ from surya_tpu.settings import settings
 @click.option("--results_dir", type=str, default=os.path.join(settings.RESULT_DIR, "benchmark"))
 @click.option("--max_rows", type=int, default=256)
 @click.option("--synthetic", is_flag=True, default=False)
-def main(results_dir: str, max_rows: int, synthetic: bool):
+@click.option("--tesseract", is_flag=True, default=False, help="Also run the tesseract baseline.")
+@click.option("--tess_cpus", type=int, default=None, help="Worker processes for tesseract.")
+def main(results_dir: str, max_rows: int, synthetic: bool, tesseract: bool, tess_cpus):
     rec_predictor = RecognitionPredictor()
 
+    languages = None
     if synthetic:
         images, bboxes, line_text = synthetic_text_pages(max_rows)
     else:
@@ -29,6 +32,8 @@ def main(results_dir: str, max_rows: int, synthetic: bool):
         images = convert_if_not_rgb(list(dataset["image"]))
         bboxes = list(dataset["bboxes"])
         line_text = list(dataset["text"])
+        if "language" in dataset.column_names:
+            languages = list(dataset["language"])
 
     rec_predictor(images[:1], bboxes=bboxes[:1])  # compile
     start = time.time()
@@ -50,11 +55,39 @@ def main(results_dir: str, max_rows: int, synthetic: bool):
             "total_time": surya_time,
         }
     }
+
+    if tesseract:
+        from benchmark.utils.tesseract import surya_lang_to_tesseract, tesseract_ocr_parallel
+
+        langs = languages or [["en"]] * len(images)
+        keep, tess_langs = [], []
+        for i, lang in enumerate(langs):
+            code = surya_lang_to_tesseract(lang[0] if isinstance(lang, (list, tuple)) else lang)
+            if code is not None:
+                keep.append(i)
+                tess_langs.append(code)
+        start = time.time()
+        tess_predictions = tesseract_ocr_parallel(
+            [images[i] for i in keep], [bboxes[i] for i in keep], tess_langs, cpus=tess_cpus
+        )
+        tess_time = time.time() - start
+        t_scores, t_weights = [], []
+        for pred_texts, i in zip(tess_predictions, keep):
+            s, w, _ = overlap_score(pred_texts, line_text[i])
+            t_scores.extend(s)
+            t_weights.extend(w)
+        out["tesseract"] = {
+            "avg_score": sum(t_scores) / max(1e-6, sum(t_weights)),
+            "time_per_img": tess_time / max(1, len(keep)),
+            "total_time": tess_time,
+        }
+
     os.makedirs(results_dir, exist_ok=True)
     with open(os.path.join(results_dir, "rec_bench.json"), "w") as f:
         json.dump(out, f, indent=2)
 
-    print(tabulate([["surya", avg_score, surya_time / len(images)]], headers=["model", "avg_score", "time/image (s)"]))
+    rows = [[m, out[m]["avg_score"], out[m]["time_per_img"]] for m in out]
+    print(tabulate(rows, headers=["model", "avg_score", "time/image (s)"]))
 
 
 if __name__ == "__main__":

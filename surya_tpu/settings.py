@@ -113,6 +113,9 @@ class Settings(BaseModel):
     # Texify
     TEXIFY_BENCHMARK_DATASET: str = "datalab-to/texify_bench"
 
+    # Competitor baselines (benchmark/utils/tesseract.py)
+    TESSDATA_PREFIX: Optional[str] = None
+
     # OCR error detection
     OCR_ERROR_MODEL_CHECKPOINT: str = "s3://ocr_error_detection/2025_02_18"
     OCR_ERROR_BATCH_SIZE: Optional[int] = None

@@ -53,3 +53,26 @@ def test_verify_gates():
     verify_rec({"surya": {"avg_score": 0.97}})
     with pytest.raises(ValueError):
         verify_rec({"surya": {"avg_score": 0.5}})
+
+
+def test_tesseract_baseline_gating():
+    """Language mapping works without pytesseract; OCR entry points raise a
+    clear ImportError when it's absent (it is in this image)."""
+    import pytest
+
+    from benchmark.utils.tesseract import (
+        TESS_LANGUAGE_TO_CODE,
+        surya_lang_to_tesseract,
+        tesseract_ocr,
+    )
+
+    assert surya_lang_to_tesseract("en") == "eng"
+    assert surya_lang_to_tesseract("zh") == "chi_sim"
+    assert surya_lang_to_tesseract("_math") is None
+    assert TESS_LANGUAGE_TO_CODE["German"] == "deu"
+
+    try:
+        import pytesseract  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="tesseract"):
+            tesseract_ocr(None, [], "eng")
