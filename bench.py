@@ -64,7 +64,7 @@ def install_synthetic_detector(det):
 
     config = det.config
 
-    def apply_maps(params, x):
+    def apply_heat(params, x):
         # x: [B, H, W, 3] float in [0, 1] (the production graph tail input)
         logits = efficientvit._forward_logits(params, config, x)
         # perfect-detector blobs: darkness -> head-res max-pool -> horizontal
@@ -73,10 +73,9 @@ def install_synthetic_detector(det):
         d4 = jax.lax.reduce_window(dark, -jnp.inf, jax.lax.max, (1, 4, 4), (1, 4, 4), "VALID")
         blob = jax.lax.reduce_window(d4, -jnp.inf, jax.lax.max, (1, 3, 9), (1, 1, 1), "SAME")
         logits = logits.at[..., 0].add(14.0 * blob)
-        heat = jax.nn.sigmoid(logits.astype(jnp.float32))
-        return jnp.round(heat * 255.0).astype(jnp.uint8)
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
 
-    det._apply_maps = apply_maps
+    det._apply_heat = apply_heat
 
 
 def main():

@@ -24,7 +24,7 @@ from tqdm import tqdm
 
 from surya_tpu.common.predictor import BasePredictor
 from surya_tpu.common.profiling import stage
-from surya_tpu.detection.heatmap import parallel_get_boxes
+from surya_tpu.detection.heatmap import get_boxes_from_stats_result, parallel_get_boxes
 from surya_tpu.detection.loader import load_detection_model
 from surya_tpu.detection.parallel import FakeExecutor
 from surya_tpu.detection.schema import TextDetectionResult
@@ -41,26 +41,17 @@ class DetectionPredictor(BasePredictor):
         self.params, self.config = load_detection_model(checkpoint)
         self.processor_size = self.config.image_size  # (h, w)
 
-        # compact uint8 heatmap at 1/4 res: D2H transfer is the detection
-        # bottleneck; upsampling happens on host (see apply_compact).
-        # _apply_maps is the patchable graph tail (benches hook it).
-        def apply_maps(params, x):
-            return efficientvit.apply_compact(params, self.config, x)
+        # _apply_heat is the patchable graph tail (benches hook it): float
+        # sigmoid heatmaps at the decode head's 1/4 resolution
+        def apply_heat(params, x):
+            return efficientvit.apply_heat(params, self.config, x)
 
-        self._apply_maps = apply_maps
+        self._apply_heat = apply_heat
 
-        @partial(jax.jit, static_argnames=())
-        def forward(params, pixels_u8):
-            x = pixels_u8.astype(settings.MODEL_DTYPE) / 255.0
-            return self._apply_maps(params, x)
-
-        self._forward = forward
-
-        @partial(jax.jit, static_argnames=())
-        def forward_resize(params, pixels_u8, Vs, Hs, gid):
-            """Fused double-LANCZOS resize + forward: chunks arrive at source
-            resolution (uint8), the PIL-exact per-size weight matrices resize
-            them on the MXU (resize.py), so the single-core host never touches
+        def _resize_device(pixels_u8, Vs, Hs, gid):
+            """Double-LANCZOS resize on the MXU: chunks arrive at source
+            resolution (uint8), the PIL-exact per-size weight matrices
+            (resize.py) resize them, so the single-core host never touches
             full-page pixels beyond one memcpy."""
             V = Vs[gid].astype(settings.MODEL_DTYPE)
             Hm = Hs[gid].astype(settings.MODEL_DTYPE)
@@ -72,10 +63,58 @@ class DetectionPredictor(BasePredictor):
             )
             # PIL rounds to uint8 after the final resize
             x = jnp.clip(jnp.round(x), 0.0, 255.0)
-            x = x.astype(settings.MODEL_DTYPE) / 255.0
-            return self._apply_maps(params, x)
+            return x.astype(settings.MODEL_DTYPE) / 255.0
 
+        def _quantize(heat):
+            # compact uint8 maps at 1/4 res: D2H is the detection bottleneck
+            return jnp.round(heat * 255.0).astype(jnp.uint8)
+
+        def _stats_tail(heat, page_gather, valid_rows, max_comps):
+            """Assemble per-page head-res maps (chunk seams contiguous, so
+            components merge across chunks exactly like the host vstack) and
+            reduce to component stats — only ~KBs cross device->host."""
+            from surya_tpu.ops import connected_components as cc
+
+            B, h4, w4 = heat.shape
+            P, K = page_gather.shape
+            maps = heat[jnp.clip(page_gather, 0)]  # [P, K, h4, w4]
+            ok = (page_gather >= 0)[:, :, None, None] & (
+                jnp.arange(h4)[None, None, :, None] < valid_rows[:, :, None, None]
+            )
+            page_maps = jnp.where(ok, maps, 0.0).reshape(P, K * h4, w4)
+            top10 = cc.dynamic_threshold_inputs(page_maps)
+            scaling = jnp.clip(top10 / 0.7, 0.0, 1.0) ** 0.5
+            low = jnp.clip(settings.DETECTOR_BLANK_THRESHOLD * scaling, 0.1, 0.6)
+            thr = jnp.clip(settings.DETECTOR_TEXT_THRESHOLD * scaling, 0.15, 0.8)
+            stats, n = cc.component_stats(page_maps, low, max_comps=max_comps)
+            return stats, n, thr
+
+        @partial(jax.jit, static_argnames=())
+        def forward(params, pixels_u8):
+            x = pixels_u8.astype(settings.MODEL_DTYPE) / 255.0
+            return _quantize(self._apply_heat(params, x))
+
+        @partial(jax.jit, static_argnames=())
+        def forward_resize(params, pixels_u8, Vs, Hs, gid):
+            x = _resize_device(pixels_u8, Vs, Hs, gid)
+            return _quantize(self._apply_heat(params, x))
+
+        @partial(jax.jit, static_argnames=("max_comps",))
+        def forward_stats(params, pixels_u8, page_gather, valid_rows, max_comps):
+            x = pixels_u8.astype(settings.MODEL_DTYPE) / 255.0
+            heat = self._apply_heat(params, x)[..., 0].astype(jnp.float32)
+            return _stats_tail(heat, page_gather, valid_rows, max_comps)
+
+        @partial(jax.jit, static_argnames=("max_comps",))
+        def forward_resize_stats(params, pixels_u8, Vs, Hs, gid, page_gather, valid_rows, max_comps):
+            x = _resize_device(pixels_u8, Vs, Hs, gid)
+            heat = self._apply_heat(params, x)[..., 0].astype(jnp.float32)
+            return _stats_tail(heat, page_gather, valid_rows, max_comps)
+
+        self._forward = forward
         self._forward_resize = forward_resize
+        self._forward_stats = forward_stats
+        self._forward_resize_stats = forward_resize_stats
 
     def __call__(
         self, images: List[Image.Image], batch_size=None, include_maps=False
@@ -84,12 +123,15 @@ class DetectionPredictor(BasePredictor):
 
         futures = []
         max_workers = max(1, min(settings.DETECTOR_POSTPROCESSING_CPU_WORKERS, len(images)))
-        parallelize = len(images) >= settings.DETECTOR_MIN_PARALLEL_THRESH
+        parallelize = len(images) >= settings.DETECTOR_MIN_PARALLEL_THRESH and (os.cpu_count() or 1) > 1
         executor = ThreadPoolExecutor if parallelize else FakeExecutor
         with executor(max_workers=max_workers) as e:
             for preds, orig_sizes in generator:
                 for pred, orig_size in zip(preds, orig_sizes):
-                    futures.append(e.submit(parallel_get_boxes, pred, orig_size, include_maps))
+                    if isinstance(pred, dict):  # on-device stats path
+                        futures.append(e.submit(get_boxes_from_stats_result, pred, orig_size))
+                    else:
+                        futures.append(e.submit(parallel_get_boxes, pred, orig_size, include_maps))
 
             with stage("detection.postprocess_wait"):
                 return [f.result() for f in futures]
@@ -189,6 +231,61 @@ class DetectionPredictor(BasePredictor):
                     else:
                         prepared = [self.prepare_image(part) for part in image_splits]
                     pixels = self.pad_to_batch_size(np.stack(prepared, axis=0), rows)
+
+            device_stats = settings.DETECTOR_ON_DEVICE_POSTPROCESS
+            if device_stats is None:
+                device_stats = settings.DEVICE == "tpu"
+            device_stats = device_stats and not include_maps
+
+            if device_stats:
+                # full postprocess reduction on device: the only D2H is a
+                # [pages, max_comps, 11] component-stats array (~KBs)
+                h4 = None  # head resolution rows, filled from the output
+                n_pages = len(batch_images)
+                K = max(splits_per_image[j] for j in batch_image_idxs)
+                P = 1
+                while P < n_pages:
+                    P *= 2
+                page_gather = np.full((P, K), -1, np.int32)
+                valid_rows = np.zeros((P, K), np.int32)
+                for i, (idx, height) in enumerate(zip(split_index, split_heights)):
+                    k = int(np.sum(page_gather[idx] >= 0))
+                    page_gather[idx, k] = i
+                    valid_rows[idx, k] = height  # scaled to head rows below
+                max_comps = settings.DETECTOR_MAX_COMPONENTS
+
+                with stage("detection.forward"):
+                    args = (jnp.asarray(pixels),)
+                    if device_resize:
+                        args += (jnp.asarray(Vs), jnp.asarray(Hs), jnp.asarray(gid))
+                    # head rows = proc_h / 4 (decode head stride)
+                    h4 = self.processor_size[0] // 4
+                    vr = np.ceil(valid_rows * h4 / proc_h).astype(np.int32)
+                    # the first chunk of a page is never padding-cropped
+                    vr[:, 0] = np.where(page_gather[:, 0] >= 0, h4, 0)
+                    fwd = self._forward_resize_stats if device_resize else self._forward_stats
+                    stats_d, n_d, thr_d = fwd(
+                        self.params, *args, jnp.asarray(page_gather), jnp.asarray(vr),
+                        max_comps=max_comps,
+                    )
+                with stage("detection.device_get"):
+                    stats, n_comp, thr = jax.device_get((stats_d, n_d, thr_d))
+                    stats, n_comp, thr = np.asarray(stats), np.asarray(n_comp), np.asarray(thr)
+
+                pages = []
+                for idx in range(n_pages):
+                    heights = [h for i, h in zip(split_index, split_heights) if i == idx]
+                    page_h = proc_h if len(heights) == 1 else proc_h * (len(heights) - 1) + min(heights[-1], proc_h)
+                    pages.append(
+                        {
+                            "stats": stats[idx],
+                            "n_comp": int(n_comp[idx]),
+                            "text_threshold": float(thr[idx]),
+                            "page_hw": (page_h, self.processor_size[1]),
+                        }
+                    )
+                yield pages, [orig_sizes[j] for j in batch_image_idxs]
+                continue
 
             # maps stay uint8 all the way into the CRAFT postprocess — on a
             # single-core host the float32 expansion of full-page maps costs

@@ -29,7 +29,10 @@ def split_image(img: Image.Image, height: int):
         cropped = img.crop((0, top, img.size[0], bottom))
         chunk_height = bottom - top
         if chunk_height < height:
-            cropped = ImageOps.pad(cropped, (img.size[0], height), color=255, centering=(0, 0))
+            # NOTE: the reference passes color=255, which PIL interprets as
+            # RED (255, 0, 0) for RGB images (surya/detection/util.py:32) —
+            # the intent is clearly white padding
+            cropped = ImageOps.pad(cropped, (img.size[0], height), color=(255, 255, 255), centering=(0, 0))
         splits.append(cropped)
         split_heights.append(chunk_height)
     return splits, split_heights

@@ -262,6 +262,14 @@ def apply(params, config: EfficientViTConfig, pixel_values: jnp.ndarray) -> jnp.
     return nn.bilinear_resize(heat, config.image_size)
 
 
+def apply_heat(params, config: EfficientViTConfig, pixel_values: jnp.ndarray) -> jnp.ndarray:
+    """Sigmoid heatmaps (float32) at the decode-head's native 1/4 resolution,
+    WITHOUT the device-side upsample — the graph tail both the compact-map
+    and on-device-stats detection paths build on."""
+    logits = _forward_logits(params, config, pixel_values)
+    return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+
 def apply_compact(params, config: EfficientViTConfig, pixel_values: jnp.ndarray) -> jnp.ndarray:
     """Like `apply` but returns the sigmoid heatmap quantized to uint8 at the
     decode-head's native 1/4 resolution, WITHOUT the device-side upsample.
@@ -271,8 +279,7 @@ def apply_compact(params, config: EfficientViTConfig, pixel_values: jnp.ndarray)
     — the transfer, not the forward pass, dominates detection wall-clock. The
     predictor upsamples with cv2 (same align_corners=False convention) before
     CRAFT postprocessing."""
-    logits = _forward_logits(params, config, pixel_values)
-    heat = jax.nn.sigmoid(logits.astype(jnp.float32))
+    heat = apply_heat(params, config, pixel_values)
     return jnp.round(heat * 255.0).astype(jnp.uint8)
 
 

@@ -80,6 +80,10 @@ class Settings(BaseModel):
     # None = auto (on for TPU): run the double-LANCZOS chunk resize on device
     # as weight matmuls (detection/resize.py) instead of host PIL
     DETECTOR_DEVICE_RESIZE: Optional[bool] = None
+    # None = auto (on for TPU): connected components + stats on device
+    # (ops/connected_components.py); D2H is component stats, not heatmaps
+    DETECTOR_ON_DEVICE_POSTPROCESS: Optional[bool] = None
+    DETECTOR_MAX_COMPONENTS: int = 512
 
     # Text recognition
     RECOGNITION_MODEL_CHECKPOINT: str = "s3://text_recognition/2025_05_16"

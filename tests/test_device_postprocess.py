@@ -1,0 +1,112 @@
+"""On-device detection postprocess (component stats -> host box math) vs the
+host CRAFT path (native C++ / OpenCV on full-res maps) on synthetic pages.
+
+Exact parity is impossible — the device path labels at head resolution (1/4)
+while the host path labels the bilinear-upsampled full-res map — so boxes
+are compared by IoU and edge distance."""
+
+import numpy as np
+import pytest
+from PIL import Image, ImageDraw
+
+from surya_tpu.settings import settings
+
+
+def _bbox_iou(a, b):
+    ix0, iy0 = max(a[0], b[0]), max(a[1], b[1])
+    ix1, iy1 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(0, ix1 - ix0) * max(0, iy1 - iy0)
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / ua if ua else 0.0
+
+
+@pytest.fixture(scope="module")
+def blob_detector():
+    """Detection predictor whose heatmap is a perfect line detector driven by
+    input darkness (same hook the bench uses) — random weights can't produce
+    coherent maps."""
+    import jax
+    import jax.numpy as jnp
+
+    from surya_tpu.detection import DetectionPredictor
+    from surya_tpu.models import efficientvit
+
+    det = DetectionPredictor()
+    head = det.params["head"]["classifier"]
+    if "bias" in head:
+        head["bias"] = jnp.full_like(head["bias"], -6.0)
+    config = det.config
+
+    def apply_heat(params, x):
+        logits = efficientvit._forward_logits(params, config, x)
+        dark = 1.0 - jnp.min(x.astype(jnp.float32), axis=-1)
+        d4 = jax.lax.reduce_window(dark, -jnp.inf, jax.lax.max, (1, 4, 4), (1, 4, 4), "VALID")
+        blob = jax.lax.reduce_window(d4, -jnp.inf, jax.lax.max, (1, 3, 9), (1, 1, 1), "SAME")
+        logits = logits.at[..., 0].add(14.0 * blob)
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    det._apply_heat = apply_heat
+    return det
+
+
+def _page(lines=8, width=1000, height=800, rotate=0.0):
+    img = Image.new("RGB", (width, height), "white")
+    draw = ImageDraw.Draw(img)
+    for i in range(lines):
+        draw.text((60, 40 + i * 80), f"Line {i}: some benchmark text here.", fill="black", font_size=28)
+    if rotate:
+        img = img.rotate(rotate, expand=False, fillcolor="white")
+    return img
+
+
+def _run(det, images, on_device: bool):
+    old = settings.DETECTOR_ON_DEVICE_POSTPROCESS
+    settings.DETECTOR_ON_DEVICE_POSTPROCESS = on_device
+    try:
+        return det(images)
+    finally:
+        settings.DETECTOR_ON_DEVICE_POSTPROCESS = old
+
+
+def _compare(host_res, dev_res, min_iou=0.8, max_extra=1):
+    h_boxes = [b.bbox for b in host_res.bboxes]
+    d_boxes = [b.bbox for b in dev_res.bboxes]
+    assert abs(len(h_boxes) - len(d_boxes)) <= max_extra, (len(h_boxes), len(d_boxes))
+    matched = 0
+    for hb in h_boxes:
+        best = max((_bbox_iou(hb, db) for db in d_boxes), default=0.0)
+        if best >= min_iou:
+            matched += 1
+    assert matched >= len(h_boxes) - max_extra, (matched, len(h_boxes))
+
+
+def test_axis_aligned_pages_match_host_path(blob_detector):
+    pages = [_page(), _page(lines=5, width=700, height=600)]
+    host = _run(blob_detector, pages, on_device=False)
+    dev = _run(blob_detector, pages, on_device=True)
+    for h, d in zip(host, dev):
+        assert len(h.bboxes) > 0
+        _compare(h, d)
+
+
+def test_tall_page_merges_across_chunks(blob_detector):
+    # a 2000px page splits into chunks; a line exactly on the seam must come
+    # back as ONE box on both paths
+    img = Image.new("RGB", (900, 2000), "white")
+    draw = ImageDraw.Draw(img)
+    for y in (300, 893, 1500):  # 893 straddles the 896 chunk seam
+        draw.rectangle((100, y - 9, 800, y + 9), fill="black")
+    host = _run(blob_detector, [img], on_device=False)[0]
+    dev = _run(blob_detector, [img], on_device=True)[0]
+    assert len(host.bboxes) == 3, [b.bbox for b in host.bboxes]
+    assert len(dev.bboxes) == 3, [b.bbox for b in dev.bboxes]
+    _compare(host, dev, max_extra=0)
+
+
+def test_rotated_page(blob_detector):
+    pages = [_page(rotate=3.0)]
+    host = _run(blob_detector, pages, on_device=False)[0]
+    dev = _run(blob_detector, pages, on_device=True)[0]
+    assert len(host.bboxes) > 0
+    # rotated quads come from the moments estimate: looser IoU
+    _compare(host, dev, min_iou=0.6, max_extra=2)
