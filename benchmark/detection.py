@@ -21,10 +21,21 @@ from surya_tpu.settings import settings
 @click.option("--max_rows", type=int, default=100)
 @click.option("--synthetic", is_flag=True, default=False, help="Use synthetic pages (no dataset download).")
 @click.option("--tesseract", is_flag=True, default=False, help="Also run the tesseract baseline.")
-def main(results_dir: str, max_rows: int, synthetic: bool, tesseract: bool):
+@click.option("--pdf_path", type=str, default=None, help="Benchmark against a real PDF's embedded text lines instead of a dataset.")
+def main(results_dir: str, max_rows: int, synthetic: bool, tesseract: bool, pdf_path):
     det_predictor = DetectionPredictor()
 
-    if synthetic:
+    if pdf_path:
+        from benchmark.utils.bbox import get_pdf_lines
+        from surya_tpu.input.load import load_pdf, open_pdf
+
+        doc = open_pdf(pdf_path)
+        n_pages = len(doc)
+        doc.close()
+        images, _ = load_pdf(pdf_path, page_range=list(range(min(max_rows, n_pages))))
+        images = convert_if_not_rgb(images)
+        correct_boxes = get_pdf_lines(pdf_path, [img.size for img in images])
+    elif synthetic:
         images, correct_boxes, _ = synthetic_text_pages(max_rows)
     else:
         dataset = load_hf_dataset(settings.DETECTOR_BENCH_DATASET_NAME, max_rows)

@@ -21,7 +21,9 @@ from surya_tpu.settings import settings
 @click.option("--synthetic", is_flag=True, default=False)
 @click.option("--tesseract", is_flag=True, default=False, help="Also run the tesseract baseline.")
 @click.option("--tess_cpus", type=int, default=None, help="Worker processes for tesseract.")
-def main(results_dir: str, max_rows: int, synthetic: bool, tesseract: bool, tess_cpus):
+@click.option("--textract", is_flag=True, default=False, help="Also run the AWS Textract baseline.")
+@click.option("--textract_cpus", type=int, default=None, help="Worker threads for textract.")
+def main(results_dir: str, max_rows: int, synthetic: bool, tesseract: bool, tess_cpus, textract: bool, textract_cpus):
     rec_predictor = RecognitionPredictor()
 
     languages = None
@@ -80,6 +82,23 @@ def main(results_dir: str, max_rows: int, synthetic: bool, tesseract: bool, tess
             "avg_score": sum(t_scores) / max(1e-6, sum(t_weights)),
             "time_per_img": tess_time / max(1, len(keep)),
             "total_time": tess_time,
+        }
+
+    if textract:
+        from benchmark.utils.textract import textract_ocr_parallel
+
+        start = time.time()
+        textract_predictions = textract_ocr_parallel(images, cpus=textract_cpus)
+        textract_time = time.time() - start
+        x_scores, x_weights = [], []
+        for pred_texts, ref_texts in zip(textract_predictions, line_text):
+            s, w, _ = overlap_score([t for t in pred_texts if t], ref_texts)
+            x_scores.extend(s)
+            x_weights.extend(w)
+        out["textract"] = {
+            "avg_score": sum(x_scores) / max(1e-6, sum(x_weights)),
+            "time_per_img": textract_time / len(images),
+            "total_time": textract_time,
         }
 
     os.makedirs(results_dir, exist_ok=True)

@@ -19,7 +19,8 @@ from surya_tpu.table_rec import TableRecPredictor
 @click.option("--results_dir", type=str, default=os.path.join(settings.RESULT_DIR, "benchmark"))
 @click.option("--max_rows", type=int, default=100)
 @click.option("--synthetic", is_flag=True, default=False)
-def main(results_dir: str, max_rows: int, synthetic: bool):
+@click.option("--tatr", is_flag=True, default=False, help="Also run the Table-Transformer baseline.")
+def main(results_dir: str, max_rows: int, synthetic: bool, tatr: bool):
     predictor = TableRecPredictor()
 
     if synthetic:
@@ -49,12 +50,29 @@ def main(results_dir: str, max_rows: int, synthetic: bool):
             "time_per_image": total_time / len(images),
         }
     }
+    if tatr:
+        from benchmark.utils.tatr import batch_inference_tatr, load_tatr
+
+        tatr_model = load_tatr()
+        start = time.time()
+        tatr_predictions = batch_inference_tatr(tatr_model, images, 1)
+        tatr_time = time.time() - start
+        t_rows, t_cols = [], []
+        for pred, rows, cols in zip(tatr_predictions, ref_rows, ref_cols):
+            t_rows.append(penalized_iou_score([r["bbox"] for r in pred["rows"]], rows))
+            t_cols.append(penalized_iou_score([c["bbox"] for c in pred["cols"]], cols))
+        out["tatr"] = {
+            "mean_row_iou": sum(t_rows) / len(t_rows),
+            "mean_col_iou": sum(t_cols) / len(t_cols),
+            "time_per_image": tatr_time / len(images),
+        }
+
     os.makedirs(results_dir, exist_ok=True)
     with open(os.path.join(results_dir, "table_rec_bench.json"), "w") as f:
         json.dump(out, f, indent=2)
 
     print(tabulate(
-        [["surya", out["surya"]["mean_row_iou"], out["surya"]["mean_col_iou"], out["surya"]["time_per_image"]]],
+        [[m, out[m]["mean_row_iou"], out[m]["mean_col_iou"], out[m]["time_per_image"]] for m in out],
         headers=["model", "row iou", "col iou", "time/image (s)"],
     ))
 

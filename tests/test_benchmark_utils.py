@@ -76,3 +76,45 @@ def test_tesseract_baseline_gating():
     except ImportError:
         with pytest.raises(ImportError, match="tesseract"):
             tesseract_ocr(None, [], "eng")
+
+
+def test_textract_baseline_gating():
+    from benchmark.utils.textract import textract_ocr_parallel
+
+    try:
+        import textractor  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="textract"):
+            textract_ocr_parallel([])
+
+
+def test_join_lines_merges_stacked_fragments():
+    from benchmark.utils.bbox import join_lines, merge_boxes
+
+    assert merge_boxes((0, 0, 5, 5), (2, 2, 9, 9)) == (0, 0, 9, 9)
+    # fragment directly below and horizontally contained merges into one line
+    boxes = [(0, (0, 0, 100, 10)), (1, (10, 12, 90, 20)), (2, (0, 50, 100, 60))]
+    joined = join_lines(boxes)
+    assert len(joined) == 2
+    assert joined[0] == (0, 0, 100, 20)
+
+
+def test_tatr_box_conversion():
+    """DETR cxcywh->pixel xyxy reduction keeps only row/column objects."""
+    torch = pytest.importorskip("torch")
+    from benchmark.utils.tatr import _boxes_to_objects, _structure_batch
+    from PIL import Image
+
+    logits = torch.full((1, 3, 4), -10.0)
+    logits[0, 0, 0] = 10.0  # row
+    logits[0, 1, 1] = 10.0  # column
+    logits[0, 2, 3] = 10.0  # no object
+    boxes = torch.tensor([[[0.5, 0.1, 1.0, 0.2], [0.2, 0.5, 0.4, 1.0], [0.5, 0.5, 0.1, 0.1]]])
+    id2label = {0: "table row", 1: "table column", 3: "no object"}
+    out = _boxes_to_objects(logits, boxes, [(200, 100)], id2label)
+    assert len(out) == 1
+    assert len(out[0]["rows"]) == 1 and len(out[0]["cols"]) == 1
+    assert out[0]["rows"][0]["bbox"] == pytest.approx([0.0, 0.0, 200.0, 20.0])
+
+    batch = _structure_batch([Image.new("RGB", (2000, 1000), "white")])
+    assert batch.shape == (1, 3, 500, 1000)
