@@ -51,6 +51,7 @@ from surya_tpu.recognition.util import (
     clean_close_polygons,
     clean_math_tags,
     detect_repeat_token,
+    interleave_shard_slots,
     prediction_to_polygon_batch,
     sort_text_lines,
     unwrap_math,
@@ -289,6 +290,11 @@ class RecognitionPredictor(BasePredictor):
             max_tokens[idx] = settings.RECOGNITION_MAX_TOKENS or self.tasks[task]["max_tokens"]
 
         n_slots = min(B, self.n_slots)
+        if self.n_data > 1:
+            # keep slots+trash divisible by the data axis (batch shardings
+            # require even blocks; self.n_slots is aligned, a caller's B
+            # may not be)
+            n_slots = min(-(-(n_slots + 1) // self.n_data) * self.n_data, self.n_slots + 1) - 1
         # right-size the cache: decode attention reads the whole [slots, S]
         # cache every step, so S is pure bandwidth — size it to the longest
         # possible prompt bucket + generation budget for THIS workload
@@ -320,8 +326,13 @@ class RecognitionPredictor(BasePredictor):
 
         pbar = tqdm(total=n, desc="Recognizing Text", disable=self.disable_tqdm)
 
+        # dp: spread slot allocation round-robin over the shard blocks so
+        # prefill KV writes balance across every shard's HBM (util.py)
+        shard_block = (n_slots + 1) // self.n_data if self.n_data > 1 else 0
+
         def free_slots():
-            return [i for i, p in enumerate(slot_prompt) if p is None]
+            frees = [i for i, p in enumerate(slot_prompt) if p is None]
+            return interleave_shard_slots(frees, shard_block) if shard_block else frees
 
         def finish(slot):
             slot_prompt[slot] = None

@@ -58,6 +58,19 @@ def clean_math_tags(html: str) -> str:
     return "".join(parts)
 
 
+def interleave_shard_slots(frees: List[int], shard_block: int) -> List[int]:
+    """Order free slots round-robin across data-parallel shard blocks.
+
+    The KV cache shards slot-blockwise over the data axis (parallel/mesh.py
+    cache_sharding): slots [0, block) live on shard 0, [block, 2*block) on
+    shard 1, ... Ascending allocation concentrates every prefill's KV scatter
+    writes (and int8 quantize work) on shard 0's HBM while the other shards'
+    banks idle; round-robin across blocks spreads cache writes evenly."""
+    if shard_block <= 0:
+        return frees
+    return sorted(frees, key=lambda s: (s % shard_block, s // shard_block))
+
+
 def detect_repeat_token(predicted_tokens: List[int], max_repeats: int = 40) -> bool:
     """True when the tail is a short cycle repeated (reference :60-70)."""
     if len(predicted_tokens) < max_repeats:

@@ -72,6 +72,36 @@ def test_meshed_recognition_predictor(test_image=None):
         settings.USE_MESH = old
 
 
+def test_meshed_predictor_unaligned_batch():
+    """A caller batch size whose slots+trash is NOT divisible by the data
+    axis must still run: prediction_loop realigns the slot count (regression
+    for the device_put divisibility crash with default batch sizes)."""
+    import jax
+    from PIL import Image, ImageDraw
+
+    from surya_tpu.settings import settings
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    img = Image.new("RGB", (512, 256), "white")
+    ImageDraw.Draw(img).text((10, 10), "unaligned batch", fill="black", font_size=24)
+
+    old = settings.USE_MESH
+    settings.USE_MESH = True
+    try:
+        from surya_tpu.recognition import RecognitionPredictor
+
+        pred = RecognitionPredictor(tiny=True)
+        pred.prefill_rows = 8
+        pred.patch_caps = (1024, 4096)
+        # 8 slots + trash = 9: not divisible by 8 without realignment
+        results = pred([img], bboxes=[[[5, 5, 200, 40]]], recognition_batch_size=8)
+        assert len(results) == 1 and len(results[0].text_lines) == 1
+    finally:
+        settings.USE_MESH = old
+
+
 def test_meshed_tp_recognition_predictor():
     """End-to-end RecognitionPredictor with tensor parallelism
     (MESH_NUM_MODEL_SHARDS=2, 4x2 mesh): output must match the

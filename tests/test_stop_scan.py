@@ -97,3 +97,14 @@ def test_randomized_against_reference():
             chunks.append(rng.integers(0, 8, K).tolist())
             budgets.append(int(rng.integers(1, 120)))
         run_case(hists, chunks, budgets)
+
+
+def test_interleave_shard_slots():
+    from surya_tpu.recognition.util import interleave_shard_slots
+
+    # 8 slots in 4 shard blocks of 2: round-robin takes one per shard first
+    assert interleave_shard_slots(list(range(8)), 2) == [0, 2, 4, 6, 1, 3, 5, 7]
+    # partial free list keeps the per-shard spread
+    assert interleave_shard_slots([0, 1, 2, 5, 7], 2) == [0, 2, 1, 5, 7]
+    # no sharding -> unchanged
+    assert interleave_shard_slots([3, 1, 2], 0) == [3, 1, 2]
