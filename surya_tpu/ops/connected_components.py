@@ -28,41 +28,49 @@ AREA, MIN_X, MAX_X, MIN_Y, MAX_Y, MAX_VAL, SUM_X, SUM_Y, SUM_XX, SUM_YY, SUM_XY 
 STATS_DIM = 11
 
 
-def _neighbor_min(lab: jnp.ndarray, mask: jnp.ndarray, big: jnp.ndarray) -> jnp.ndarray:
-    """4-neighborhood minimum over positive labels. lab [P, H, W]."""
-    lp = jnp.where(mask, lab, big)
-    m = lp
-    m = jnp.minimum(m, jnp.pad(lp[:, 1:, :], ((0, 0), (0, 1), (0, 0)), constant_values=2**30))
-    m = jnp.minimum(m, jnp.pad(lp[:, :-1, :], ((0, 0), (1, 0), (0, 0)), constant_values=2**30))
-    m = jnp.minimum(m, jnp.pad(lp[:, :, 1:], ((0, 0), (0, 0), (0, 1)), constant_values=2**30))
-    m = jnp.minimum(m, jnp.pad(lp[:, :, :-1], ((0, 0), (0, 0), (1, 0)), constant_values=2**30))
-    return jnp.where(mask, m, 0)
+_BIG = jnp.int32(1 << 30)
+
+
+def _run_min(lab: jnp.ndarray, mask: jnp.ndarray, axis: int, reverse: bool) -> jnp.ndarray:
+    """Segmented min-scan along `axis`: each masked pixel receives the min
+    label over its contiguous masked run so far. Classic (value, reset)
+    associative operator — log-depth vector ops, no gathers (TPU gathers
+    lower to serial dynamic-slices and dominated the old pointer-jumping
+    formulation)."""
+    v = jnp.where(mask, lab, _BIG)
+    r = ~mask
+
+    def comb(a, b):
+        av, ar = a
+        bv, br = b
+        return jnp.where(br, bv, jnp.minimum(av, bv)), ar | br
+
+    out, _ = jax.lax.associative_scan(comb, (v, r), axis=axis, reverse=reverse)
+    return out
 
 
 def label_components(mask: jnp.ndarray) -> jnp.ndarray:
     """Label 4-connected components of mask [P, H, W]. Returns int32
     [P, H, W]: 0 for background, else (flat index of the component's
     first row-major pixel) + 1 — the same enumeration order the reference's
-    relabel pass produces."""
+    relabel pass produces.
+
+    Min labels propagate by alternating segmented min-scans along rows and
+    columns until stable: each round floods whole runs in both directions,
+    so rounds scale with a component's number of bends (tiny for CRAFT text
+    blobs), not its pixel diameter."""
     P, H, W = mask.shape
-    big = jnp.int32(H * W + 2)
     idx = (jnp.arange(H * W, dtype=jnp.int32) + 1).reshape(1, H, W)
     lab0 = jnp.where(mask, idx, 0)
 
-    def jump(lab_flat):
-        # L[p] <- L[L[p] - 1]  (labels are flat-index+1)
-        return jnp.where(
-            lab_flat > 0,
-            jnp.take_along_axis(lab_flat, jnp.maximum(lab_flat - 1, 0), axis=1),
-            0,
-        )
-
     def body(state):
         lab, _ = state
-        new = _neighbor_min(lab, mask, big)
-        flat = new.reshape(P, H * W)
-        flat = jump(jump(flat))
-        new = flat.reshape(P, H, W)
+        new = lab
+        new = jnp.minimum(new, _run_min(new, mask, 2, False))
+        new = jnp.minimum(new, _run_min(new, mask, 2, True))
+        new = jnp.minimum(new, _run_min(new, mask, 1, False))
+        new = jnp.minimum(new, _run_min(new, mask, 1, True))
+        new = jnp.where(mask, new, 0)
         return new, jnp.any(new != lab)
 
     def cond(state):
@@ -88,22 +96,17 @@ def component_stats(heat: jnp.ndarray, low_text: jnp.ndarray, max_comps: int = 2
     flat_mask = mask.reshape(P, H * W)
     flat_heat = heat.reshape(P, H * W).astype(jnp.float32)
 
-    # first-encounter roots: pixel i is a root iff its label == i+1
+    # first-encounter roots: pixel i is a root iff its label == i+1. A cumsum
+    # over the root indicator assigns each root its 1-based row-major ordinal,
+    # and one gather reads every pixel's ordinal at its root — no top_k /
+    # sort / searchsorted (those dominated this program's device time)
     pix = jnp.arange(H * W, dtype=jnp.int32)[None, :]
     is_root = flat_mask & (flat_lab == pix + 1)
-    # top_k over descending (HW - i) picks the smallest root indices first
-    score = jnp.where(is_root, H * W - pix, 0)
-    root_score, root_pix = jax.lax.top_k(score, max_comps)  # [P, C]
-    root_valid = root_score > 0
-    roots = jnp.where(root_valid, H * W - root_score, H * W + 5)  # flat index, ascending
-    roots = jnp.sort(roots, axis=1)
-    n_comp = root_valid.sum(axis=1).astype(jnp.int32)
-
-    # map each pixel's label -> component id (1-based; 0 = background/overflow)
-    pos = jax.vmap(jnp.searchsorted)(roots, flat_lab - 1)  # [P, HW]
-    pos = jnp.clip(pos, 0, max_comps - 1)
-    hit = flat_mask & (jnp.take_along_axis(roots, pos, axis=1) == flat_lab - 1)
-    seg = jnp.where(hit, pos + 1, 0)
+    ordinal = jnp.cumsum(is_root.astype(jnp.int32), axis=1)  # [P, HW]
+    n_comp = jnp.minimum(ordinal[:, -1], max_comps).astype(jnp.int32)
+    comp = jnp.take_along_axis(ordinal, jnp.maximum(flat_lab - 1, 0), axis=1)
+    # 1-based component id; 0 = background / beyond-max_comps overflow
+    seg = jnp.where(flat_mask & (comp <= max_comps), comp, 0)
 
     xs = (jnp.arange(H * W, dtype=jnp.int32) % W).astype(jnp.float32)[None, :]
     ys = (jnp.arange(H * W, dtype=jnp.int32) // W).astype(jnp.float32)[None, :]
@@ -141,8 +144,25 @@ def component_stats(heat: jnp.ndarray, low_text: jnp.ndarray, max_comps: int = 2
 
 def dynamic_threshold_inputs(heat: jnp.ndarray) -> jnp.ndarray:
     """Top-10% mean intensity per page (reference heatmap.py:14-24 computes
-    this on host; here it stays on device). heat [P, H, W] -> [P]."""
+    this on host; here it stays on device). heat [P, H, W] -> [P].
+
+    Computed from a 256-bin histogram instead of a top_k over the full map:
+    bins fully inside the top decile contribute their exact value sums, the
+    one straddling bin is approximated by its center (error < 1/256 of one
+    decile share — far below the downstream threshold clamps)."""
     P, H, W = heat.shape
-    k = max(1, (H * W) // 10)
-    top, _ = jax.lax.top_k(heat.reshape(P, H * W), k)
-    return top.mean(axis=1)
+    hw = H * W
+    k = max(1, hw // 10)
+    flat = heat.reshape(P, hw)
+    bins = jnp.clip((flat * 256.0).astype(jnp.int32), 0, 255)
+
+    ones = jnp.ones_like(flat)
+    cnt = jax.vmap(lambda b, o: jax.ops.segment_sum(o, b, num_segments=256))(bins, ones)
+    val = jax.vmap(lambda b, v: jax.ops.segment_sum(v, b, num_segments=256))(bins, flat)
+
+    cnt_rev, val_rev = cnt[:, ::-1], val[:, ::-1]  # brightest bin first
+    above = jnp.cumsum(cnt_rev, axis=1) - cnt_rev  # pixels in brighter bins
+    take = jnp.clip(k - above, 0.0, cnt_rev)  # pixels taken from each bin
+    center = (jnp.arange(255, -1, -1, dtype=jnp.float32) + 0.5) / 256.0
+    contrib = jnp.where(take >= cnt_rev, val_rev, take * center[None, :])
+    return contrib.sum(axis=1) / k
