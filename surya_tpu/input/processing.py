@@ -61,10 +61,18 @@ def slice_and_pad_poly(image_array: np.ndarray, coordinates) -> np.ndarray:
     if bbox[3] <= bbox[1] or bbox[2] <= bbox[0] or len(local) < 3 or height == 0 or width == 0:
         return cropped
 
+    # axis-aligned quads (the typical detection output) cover their whole
+    # bbox — the outside-polygon mask would be a no-op, skip it
+    if len(local) == 4:
+        xs = sorted(p[0] for p in local)
+        ys = sorted(p[1] for p in local)
+        if xs[0] == xs[1] == 0 and ys[0] == ys[1] == 0 and xs[2] == xs[3] and ys[2] == ys[3]:
+            return cropped
+
     try:
         mask = np.zeros(cropped.shape[:2], np.uint8)
         cv2.fillPoly(mask, [np.int32(local)], 1)
-        cropped[np.stack([mask] * 3, axis=-1) == 0] = settings.RECOGNITION_PAD_VALUE
+        cropped[mask == 0] = settings.RECOGNITION_PAD_VALUE
     except cv2.error as e:
         logger.warning("polygon mask failed: %s", e)
     return cropped

@@ -31,21 +31,62 @@ STATS_DIM = 11
 _BIG = jnp.int32(1 << 30)
 
 
+def _shift(x: jnp.ndarray, axis: int, offset: int, fill) -> jnp.ndarray:
+    """x shifted by +offset along axis (element i reads i-offset), edge
+    positions filled. Pure pad+slice — the cheapest data movement XLA has."""
+    pads = [(0, 0)] * x.ndim
+    if offset >= 0:
+        pads[axis] = (offset, 0)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, x.shape[axis])
+    else:
+        pads[axis] = (0, -offset)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(-offset, x.shape[axis] - offset)
+    return jnp.pad(x, pads, constant_values=fill)[tuple(sl)]
+
+
 def _run_min(lab: jnp.ndarray, mask: jnp.ndarray, axis: int, reverse: bool) -> jnp.ndarray:
     """Segmented min-scan along `axis`: each masked pixel receives the min
-    label over its contiguous masked run so far. Classic (value, reset)
-    associative operator — log-depth vector ops, no gathers (TPU gathers
-    lower to serial dynamic-slices and dominated the old pointer-jumping
-    formulation)."""
-    v = jnp.where(mask, lab, _BIG)
-    r = ~mask
+    label over its contiguous masked run so far (up to a break). Manual
+    distance-doubling with pad/shift + min/where — log-depth vector ops with
+    no gathers (TPU gathers serialize) and no associative_scan (its
+    interleave/concat lowering made XLA compile times explode)."""
+    n = lab.shape[axis]
+    sign = -1 if reverse else 1
+    m = jnp.where(mask, lab, _BIG)  # min over the run-clipped window so far
+    c = mask  # window [i-2^k+1, i] entirely inside one run
+    k = 1
+    while k < n:
+        m_s = _shift(m, axis, sign * k, _BIG)
+        c_s = _shift(c, axis, sign * k, False)
+        m = jnp.where(c, jnp.minimum(m, m_s), m)
+        c = c & c_s
+        k *= 2
+    return m
 
-    def comb(a, b):
-        av, ar = a
-        bv, br = b
-        return jnp.where(br, bv, jnp.minimum(av, bv)), ar | br
 
-    out, _ = jax.lax.associative_scan(comb, (v, r), axis=axis, reverse=reverse)
+def _min_flood(seed: jnp.ndarray, mask: jnp.ndarray, background) -> jnp.ndarray:
+    """Flood the component-wise minimum of `seed` over 4-connected masked
+    regions by alternating segmented min-scans along rows and columns until
+    stable: each round floods whole runs in both directions, so rounds scale
+    with a component's number of bends (tiny for CRAFT text blobs), not its
+    pixel diameter. Unmasked pixels hold `background`."""
+
+    def body(state):
+        val, _ = state
+        new = val
+        new = jnp.minimum(new, _run_min(new, mask, 2, False))
+        new = jnp.minimum(new, _run_min(new, mask, 2, True))
+        new = jnp.minimum(new, _run_min(new, mask, 1, False))
+        new = jnp.minimum(new, _run_min(new, mask, 1, True))
+        new = jnp.where(mask, new, background)
+        return new, jnp.any(new != val)
+
+    def cond(state):
+        return state[1]
+
+    out, _ = jax.lax.while_loop(cond, body, (jnp.where(mask, seed, background), jnp.bool_(True)))
     return out
 
 
@@ -53,31 +94,10 @@ def label_components(mask: jnp.ndarray) -> jnp.ndarray:
     """Label 4-connected components of mask [P, H, W]. Returns int32
     [P, H, W]: 0 for background, else (flat index of the component's
     first row-major pixel) + 1 — the same enumeration order the reference's
-    relabel pass produces.
-
-    Min labels propagate by alternating segmented min-scans along rows and
-    columns until stable: each round floods whole runs in both directions,
-    so rounds scale with a component's number of bends (tiny for CRAFT text
-    blobs), not its pixel diameter."""
+    relabel pass produces."""
     P, H, W = mask.shape
     idx = (jnp.arange(H * W, dtype=jnp.int32) + 1).reshape(1, H, W)
-    lab0 = jnp.where(mask, idx, 0)
-
-    def body(state):
-        lab, _ = state
-        new = lab
-        new = jnp.minimum(new, _run_min(new, mask, 2, False))
-        new = jnp.minimum(new, _run_min(new, mask, 2, True))
-        new = jnp.minimum(new, _run_min(new, mask, 1, False))
-        new = jnp.minimum(new, _run_min(new, mask, 1, True))
-        new = jnp.where(mask, new, 0)
-        return new, jnp.any(new != lab)
-
-    def cond(state):
-        return state[1]
-
-    lab, _ = jax.lax.while_loop(cond, body, (lab0, jnp.bool_(True)))
-    return lab
+    return _min_flood(jnp.broadcast_to(idx, mask.shape), mask, jnp.int32(0))
 
 
 @partial(jax.jit, static_argnames=("max_comps",))
@@ -97,14 +117,17 @@ def component_stats(heat: jnp.ndarray, low_text: jnp.ndarray, max_comps: int = 2
     flat_heat = heat.reshape(P, H * W).astype(jnp.float32)
 
     # first-encounter roots: pixel i is a root iff its label == i+1. A cumsum
-    # over the root indicator assigns each root its 1-based row-major ordinal,
-    # and one gather reads every pixel's ordinal at its root — no top_k /
-    # sort / searchsorted (those dominated this program's device time)
+    # over the root indicator assigns each root its 1-based row-major
+    # ordinal, and a second min-flood broadcasts the root's ordinal over its
+    # component. No top_k / sort / searchsorted / gather anywhere — every
+    # one of those made the TPU backend's compile time explode (a [P, HW]
+    # take_along_axis alone took >9 minutes to compile)
     pix = jnp.arange(H * W, dtype=jnp.int32)[None, :]
     is_root = flat_mask & (flat_lab == pix + 1)
     ordinal = jnp.cumsum(is_root.astype(jnp.int32), axis=1)  # [P, HW]
     n_comp = jnp.minimum(ordinal[:, -1], max_comps).astype(jnp.int32)
-    comp = jnp.take_along_axis(ordinal, jnp.maximum(flat_lab - 1, 0), axis=1)
+    seed = jnp.where(is_root, ordinal, _BIG).reshape(P, H, W)
+    comp = _min_flood(seed, mask, _BIG).reshape(P, H * W)
     # 1-based component id; 0 = background / beyond-max_comps overflow
     seg = jnp.where(flat_mask & (comp <= max_comps), comp, 0)
 
@@ -146,23 +169,24 @@ def dynamic_threshold_inputs(heat: jnp.ndarray) -> jnp.ndarray:
     """Top-10% mean intensity per page (reference heatmap.py:14-24 computes
     this on host; here it stays on device). heat [P, H, W] -> [P].
 
-    Computed from a 256-bin histogram instead of a top_k over the full map:
-    bins fully inside the top decile contribute their exact value sums, the
-    one straddling bin is approximated by its center (error < 1/256 of one
-    decile share — far below the downstream threshold clamps)."""
+    Computed by bisecting the decile threshold (10 rounds of count-above,
+    pure compares + reductions): top_k sorts and histogram segment-scatters
+    both made first-compile time explode on the TPU backend. The mean is
+    taken over the >=threshold set; ties within the final 2^-10 interval
+    perturb it by <0.1% — far below the downstream threshold clamps."""
     P, H, W = heat.shape
     hw = H * W
     k = max(1, hw // 10)
     flat = heat.reshape(P, hw)
-    bins = jnp.clip((flat * 256.0).astype(jnp.int32), 0, 255)
 
-    ones = jnp.ones_like(flat)
-    cnt = jax.vmap(lambda b, o: jax.ops.segment_sum(o, b, num_segments=256))(bins, ones)
-    val = jax.vmap(lambda b, v: jax.ops.segment_sum(v, b, num_segments=256))(bins, flat)
-
-    cnt_rev, val_rev = cnt[:, ::-1], val[:, ::-1]  # brightest bin first
-    above = jnp.cumsum(cnt_rev, axis=1) - cnt_rev  # pixels in brighter bins
-    take = jnp.clip(k - above, 0.0, cnt_rev)  # pixels taken from each bin
-    center = (jnp.arange(255, -1, -1, dtype=jnp.float32) + 0.5) / 256.0
-    contrib = jnp.where(take >= cnt_rev, val_rev, take * center[None, :])
-    return contrib.sum(axis=1) / k
+    lo = jnp.zeros((P, 1), jnp.float32)
+    hi = jnp.ones((P, 1), jnp.float32)
+    for _ in range(10):
+        mid = (lo + hi) * 0.5
+        cnt = (flat >= mid).sum(axis=1, keepdims=True)
+        enough = cnt >= k
+        lo = jnp.where(enough, mid, lo)
+        hi = jnp.where(enough, hi, mid)
+    sel = flat >= lo
+    cnt = jnp.maximum(sel.sum(axis=1), 1).astype(jnp.float32)
+    return (flat * sel).sum(axis=1) / cnt

@@ -195,22 +195,24 @@ class RecognitionPredictor(BasePredictor):
 
     def detect_and_slice_bboxes(self, images, task_names, det_predictor,
                                 detection_batch_size=None, highres_images=None):
-        det_predictions = det_predictor(images, batch_size=detection_batch_size)
+        with stage("recognition.detect"):
+            det_predictions = det_predictor(images, batch_size=detection_batch_size)
 
         all_slices, slice_map, all_polygons, all_task_names, all_res_scales = [], [], [], [], []
         for det_pred, image, highres, task_name in zip(det_predictions, images, highres_images, task_names):
             polygons = [p.polygon for p in det_pred.bboxes]
-            if highres:
-                sx = highres.size[0] / image.size[0]
-                sy = highres.size[1] / image.size[1]
-                scaled = [[[int(p[0] * sx), int(p[1] * sy)] for p in poly] for poly in polygons]
-                arr = self.processor.image_processor(highres)
-                slices = slice_polys_from_image(arr, scaled)
-                res_scales = [(sx, sy)] * len(slices)
-            else:
-                arr = self.processor.image_processor(image)
-                slices = slice_polys_from_image(arr, polygons)
-                res_scales = [(1, 1)] * len(slices)
+            with stage("recognition.slice"):
+                if highres:
+                    sx = highres.size[0] / image.size[0]
+                    sy = highres.size[1] / image.size[1]
+                    scaled = [[[int(p[0] * sx), int(p[1] * sy)] for p in poly] for poly in polygons]
+                    arr = self.processor.image_processor(highres)
+                    slices = slice_polys_from_image(arr, scaled)
+                    res_scales = [(sx, sy)] * len(slices)
+                else:
+                    arr = self.processor.image_processor(image)
+                    slices = slice_polys_from_image(arr, polygons)
+                    res_scales = [(1, 1)] * len(slices)
             slice_map.append(len(slices))
             all_slices.extend(slices)
             all_polygons.extend(polygons)
