@@ -2,12 +2,24 @@
 
 from __future__ import annotations
 
+import re
 from typing import List, Optional
 
 from PIL import Image, ImageDraw, ImageFont
 
+_TAG_RE = re.compile(r"<[\w/][^>]*>")
 
-def _font(size: int):
+
+def strip_html_tags(html_text: str) -> str:
+    return _TAG_RE.sub("", html_text)
+
+
+def _font(size: int, font_path: Optional[str] = None):
+    if font_path:
+        try:
+            return ImageFont.truetype(font_path, size)
+        except Exception:
+            pass
     try:
         return ImageFont.truetype(ImageFont.load_default().path, size)  # pragma: no cover
     except Exception:
@@ -38,14 +50,42 @@ def draw_polys_on_image(corners, image, labels=None, label_offset=1, label_font_
     return image
 
 
-def draw_text_on_image(bboxes, texts: List[str], image_size, max_font_size: int = 60) -> Image.Image:
-    """Re-render recognized text into an empty page (reference debug/text.py:71)."""
-    image = Image.new("RGB", image_size, "white")
+def _text_size(draw, text, font):
+    _, _, w, h = draw.textbbox((0, 0), text=text, font=font)
+    return w, h
+
+
+def draw_text_on_image(
+    bboxes,
+    texts: List[str],
+    image_size,
+    font_path: Optional[str] = None,
+    langs: Optional[List[str]] = None,
+    max_font_size: int = 60,
+    res_upscale: int = 2,
+) -> Image.Image:
+    """Re-render recognized text into an empty page (reference debug/
+    text.py:71-100): strip markup, place each line in its box at an
+    upscaled resolution, shrinking the font until it fits."""
+    if font_path is None:
+        from surya_tpu.debug.fonts import get_font_path
+
+        font_path = get_font_path(langs)
+    size = (image_size[0] * res_upscale, image_size[1] * res_upscale)
+    image = Image.new("RGB", size, "white")
     draw = ImageDraw.Draw(image)
     for bbox, text in zip(bboxes, texts):
+        text = strip_html_tags(text)
         if not text:
             continue
-        height = max(6, int((bbox[3] - bbox[1]) * 0.9))
-        font = _font(min(height, max_font_size))
-        draw.text((bbox[0], bbox[1]), text, fill="black", font=font)
+        s_bbox = [int(c * res_upscale) for c in bbox]
+        box_w, box_h = s_bbox[2] - s_bbox[0], s_bbox[3] - s_bbox[1]
+        font_size = max(6, min(int(0.75 * box_h), max_font_size))
+        font = _font(font_size, font_path)
+        w, h = _text_size(draw, text, font)
+        while (w > box_w or h > box_h) and font_size > 6:
+            font_size -= 1
+            font = _font(font_size, font_path)
+            w, h = _text_size(draw, text, font)
+        draw.text((s_bbox[0], s_bbox[1] + (box_h - h) / 2), text, fill="black", font=font)
     return image

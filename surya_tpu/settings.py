@@ -92,6 +92,19 @@ class Settings(BaseModel):
     RECOGNITION_BATCH_SIZE: Optional[int] = None  # default 8 on cpu, 256 on tpu
     RECOGNITION_BENCH_DATASET_NAME: str = "vikp/rec_bench"
     RECOGNITION_PAD_VALUE: int = 255
+    # Noto fonts for the PIL debug text renderer (downloaded on demand;
+    # reference surya/settings.py:86-93). Falls back to PIL's default font
+    # when unreachable (zero-egress environments).
+    FONT_DIR: str = str(Path(user_cache_dir("surya_tpu")) / "fonts")
+    RECOGNITION_RENDER_FONTS: Dict = {
+        "all": "GoNotoCurrent-Regular.ttf",
+        "zh": "GoNotoCJKCore.ttf",
+        "ja": "GoNotoCJKCore.ttf",
+        "ko": "GoNotoCJKCore.ttf",
+    }
+    RECOGNITION_FONT_DL_BASE: str = (
+        "https://github.com/satbyy/go-noto-universal/releases/download/v7.0"
+    )
     # TPU scheduling knobs: tokens decoded on-device per host visit, and the
     # static sequence-length buckets prefill rounds compile against
     RECOGNITION_DECODE_CHUNK: int = 64
