@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections import deque
 from dataclasses import dataclass
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from typing import List, Optional
 
@@ -374,37 +375,56 @@ class RecognitionPredictor(BasePredictor):
                 else:
                     last_token[s] = int(ctoks[i, K - 1])
 
-        while queue or any(p is not None for p in slot_prompt):
-            frees = free_slots()
-            if queue and len(frees) / n_slots > self.min_prefill_ratio:
-                # -- prefill round: pack prompts under slot + patch budgets --
-                round_prompts: List[RecognitionPrompt] = []
-                imgs: List[np.ndarray] = []
-                slot_budget = min(len(frees), self.prefill_row_buckets[-1])
-                patch_budget = self.patch_cap
-                while queue and len(round_prompts) < slot_budget:
-                    prompt = queue[0]
-                    img = self._prepare_image(prompt.image, prompt.task_name)
-                    need = self._estimate_window_slots(img)
-                    if round_prompts and need > patch_budget:
-                        break
-                    queue.popleft()
-                    round_prompts.append(prompt)
-                    imgs.append(img)
-                    patch_budget -= need
+        def build_wave(slot_budget: int):
+            """Pop prompts from the queue under slot + patch budgets and pack
+            the prefill batch — pure host work. Runs either inline or in the
+            builder thread, overlapping the in-flight device dispatch (only
+            one build at a time ever touches the queue)."""
+            round_prompts: List[RecognitionPrompt] = []
+            imgs: List[np.ndarray] = []
+            patch_budget = self.patch_cap
+            while queue and len(round_prompts) < slot_budget:
+                prompt = queue[0]
+                img = self._prepare_image(prompt.image, prompt.task_name)
+                need = self._estimate_window_slots(img)
+                if round_prompts and need > patch_budget:
+                    break
+                queue.popleft()
+                round_prompts.append(prompt)
+                imgs.append(img)
+                patch_budget -= need
+            if not round_prompts:
+                return None
+            batch_rows = next(b for b in self.prefill_row_buckets if b >= len(round_prompts))
+            with stage("recognition.prefill_build"):
+                batch = self.processor.build_prefill_batch(
+                    imgs,
+                    [p.task_name for p in round_prompts],
+                    [p.text for p in round_prompts],
+                    [p.math_mode for p in round_prompts],
+                    cfg.encoder,
+                    batch_rows=batch_rows,
+                    seq_buckets=self.seq_buckets,
+                    patch_caps=self.patch_caps,
+                )
+            return round_prompts, batch, batch_rows
 
-                batch_rows = next(b for b in self.prefill_row_buckets if b >= len(round_prompts))
-                with stage("recognition.prefill_build"):
-                    batch = self.processor.build_prefill_batch(
-                        imgs,
-                        [p.task_name for p in round_prompts],
-                        [p.text for p in round_prompts],
-                        [p.math_mode for p in round_prompts],
-                        cfg.encoder,
-                        batch_rows=batch_rows,
-                        seq_buckets=self.seq_buckets,
-                        patch_caps=self.patch_caps,
-                    )
+        builder = ThreadPoolExecutor(max_workers=1)
+        pending = None  # speculative build future for the next wave
+        held = None  # built wave waiting for enough free slots
+
+        while queue or held is not None or pending is not None or any(
+            p is not None for p in slot_prompt
+        ):
+            frees = free_slots()
+            if held is None and pending is not None:
+                held = pending.result()
+                pending = None
+                if held is None:
+                    continue
+            if held is not None and len(held[0]) <= len(frees):
+                round_prompts, batch, batch_rows = held
+                held = None
                 slot_idx = np.full(batch_rows, n_slots, np.int32)  # trash slot
                 target_slots = frees[: len(round_prompts)]
                 slot_idx[: len(round_prompts)] = target_slots
@@ -451,14 +471,23 @@ class RecognitionPredictor(BasePredictor):
                             kv_range=layout.kv_range, win_range=layout.win_range,
                             num_steps=self.decode_chunk,
                         )
-                        packed, decode_packed = jax.device_get((packed, decode_packed))
-                        packed = np.asarray(packed)
-                        decode_packed = np.asarray(decode_packed)
                     else:
                         cache, packed = self._prefill_fn(
                             self.params, cache, *args,
                             kv_range=layout.kv_range, win_range=layout.win_range,
                         )
+                    # dispatch is in flight: build the NEXT wave on the host
+                    # while the device chews this one (sized to this wave —
+                    # at steady state the freed slots match it)
+                    if queue and pending is None:
+                        pending = builder.submit(
+                            build_wave, min(max(len(round_prompts), 1), self.prefill_row_buckets[-1])
+                        )
+                    if decode_packed is not None:
+                        packed, decode_packed = jax.device_get((packed, decode_packed))
+                        packed = np.asarray(packed)
+                        decode_packed = np.asarray(decode_packed)
+                    else:
                         packed = np.asarray(packed)
                     tok0 = packed[:, 0].astype(np.int32)
                     score0 = packed[:, 1]
@@ -479,6 +508,10 @@ class RecognitionPredictor(BasePredictor):
 
                 if decode_packed is not None:
                     process_decode(decode_packed)
+            elif held is None and queue and len(frees) / n_slots > self.min_prefill_ratio:
+                # no wave in flight: build one inline (first wave / after a
+                # wave larger than the freed slots was held back)
+                held = build_wave(min(len(frees), self.prefill_row_buckets[-1]))
             else:
                 # -- decode chunk: K tokens fully on device --
                 with stage("recognition.decode"):
@@ -495,6 +528,7 @@ class RecognitionPredictor(BasePredictor):
                     packed = np.asarray(packed)
                 process_decode(packed)
 
+        builder.shutdown(wait=True)
         pbar.close()
 
         max_len = max((sum(b.shape[0] for b in bs) for bs in bboxes if bs), default=1)
