@@ -92,11 +92,13 @@ def test_join_lines_merges_stacked_fragments():
     from benchmark.utils.bbox import join_lines, merge_boxes
 
     assert merge_boxes((0, 0, 5, 5), (2, 2, 9, 9)) == (0, 0, 9, 9)
-    # fragment directly below and horizontally contained merges into one line
-    boxes = [(0, (0, 0, 100, 10)), (1, (10, 12, 90, 20)), (2, (0, 50, 100, 60))]
+    # a horizontally-contained fragment whose bottom nearly touches the wide
+    # box's top merges into one line (reference bbox.py join rule: box1 top
+    # vs box2 bottom within max_gap, box1 contains box2 horizontally)
+    boxes = [(0, (0, 10, 100, 20)), (1, (10, 2, 90, 8)), (2, (0, 50, 100, 60))]
     joined = join_lines(boxes)
     assert len(joined) == 2
-    assert joined[0] == (0, 0, 100, 20)
+    assert joined[0] == (0, 2, 100, 20)
 
 
 def test_tatr_box_conversion():

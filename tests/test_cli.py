@@ -57,8 +57,9 @@ def test_draw_helpers():
     img = Image.new("RGB", (100, 100), "white")
     out = draw_polys_on_image([[[10, 10], [90, 10], [90, 40], [10, 40]]], img, labels=["x"])
     assert out.size == (100, 100)
-    out2 = draw_text_on_image([[10, 10, 90, 40]], ["hello"], (100, 100))
-    assert out2.size == (100, 100)
+    # the text page renders at 2x resolution (reference debug/text.py:79)
+    out2 = draw_text_on_image([[10, 10, 90, 40]], ["hello <i>markup</i>"], (100, 100))
+    assert out2.size == (200, 200)
 
 
 def test_streamlit_app_helpers():

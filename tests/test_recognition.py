@@ -55,6 +55,27 @@ def test_empty_inputs(recognition_predictor):
     assert recognition_predictor([], bboxes=[]) == []
 
 
+def test_held_wave_multi_chunk(recognition_predictor, test_image):
+    """Waves needing several decode chunks exercise the held speculative
+    build: wave 2 is packed while wave 1 still decodes, then waits for its
+    slots. Results must match a single-wave run line-for-line."""
+    from surya_tpu.settings import settings
+
+    bboxes = [[[5, 5 + 30 * i, 200, 30 + 30 * i] for i in range(6)]]
+    old_chunk, old_max = recognition_predictor.decode_chunk, settings.RECOGNITION_MAX_TOKENS
+    recognition_predictor.decode_chunk = 4
+    settings.RECOGNITION_MAX_TOKENS = 12  # 3 chunks per wave
+    try:
+        multi = recognition_predictor([test_image], bboxes=bboxes, recognition_batch_size=2)
+        single = recognition_predictor([test_image], bboxes=bboxes)
+    finally:
+        recognition_predictor.decode_chunk = old_chunk
+        settings.RECOGNITION_MAX_TOKENS = old_max
+    assert len(multi[0].text_lines) == 6
+    for a, b in zip(multi[0].text_lines, single[0].text_lines):
+        assert a.text == b.text
+
+
 def test_detect_repeat_token():
     from surya_tpu.recognition.util import detect_repeat_token
 
