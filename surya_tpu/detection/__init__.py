@@ -29,8 +29,11 @@ from surya_tpu.detection.loader import load_detection_model
 from surya_tpu.detection.parallel import FakeExecutor
 from surya_tpu.detection.schema import TextDetectionResult
 from surya_tpu.detection.util import get_total_splits, split_image
+from surya_tpu.logging import get_logger
 from surya_tpu.models import efficientvit
 from surya_tpu.settings import settings
+
+logger = get_logger()
 
 
 class DetectionPredictor(BasePredictor):
@@ -40,6 +43,7 @@ class DetectionPredictor(BasePredictor):
     def _load(self, checkpoint: Optional[str]):
         self.params, self.config = load_detection_model(checkpoint)
         self.processor_size = self.config.image_size  # (h, w)
+        self._stats_broken = False  # set when the on-device postprocess fails
 
         # _apply_heat is the patchable graph tail (benches hook it): float
         # sigmoid heatmaps at the decode head's 1/4 resolution
@@ -235,7 +239,7 @@ class DetectionPredictor(BasePredictor):
             device_stats = settings.DETECTOR_ON_DEVICE_POSTPROCESS
             if device_stats is None:
                 device_stats = settings.DEVICE == "tpu"
-            device_stats = device_stats and not include_maps
+            device_stats = device_stats and not include_maps and not self._stats_broken
 
             if device_stats:
                 # full postprocess reduction on device: the only D2H is a
@@ -254,24 +258,32 @@ class DetectionPredictor(BasePredictor):
                     valid_rows[idx, k] = height  # scaled to head rows below
                 max_comps = settings.DETECTOR_MAX_COMPONENTS
 
-                with stage("detection.forward"):
-                    args = (jnp.asarray(pixels),)
-                    if device_resize:
-                        args += (jnp.asarray(Vs), jnp.asarray(Hs), jnp.asarray(gid))
-                    # head rows = proc_h / 4 (decode head stride)
-                    h4 = self.processor_size[0] // 4
-                    vr = np.ceil(valid_rows * h4 / proc_h).astype(np.int32)
-                    # the first chunk of a page is never padding-cropped
-                    vr[:, 0] = np.where(page_gather[:, 0] >= 0, h4, 0)
-                    fwd = self._forward_resize_stats if device_resize else self._forward_stats
-                    stats_d, n_d, thr_d = fwd(
-                        self.params, *args, jnp.asarray(page_gather), jnp.asarray(vr),
-                        max_comps=max_comps,
+                try:
+                    with stage("detection.forward"):
+                        args = (jnp.asarray(pixels),)
+                        if device_resize:
+                            args += (jnp.asarray(Vs), jnp.asarray(Hs), jnp.asarray(gid))
+                        # head rows = proc_h / 4 (decode head stride)
+                        h4 = self.processor_size[0] // 4
+                        vr = np.ceil(valid_rows * h4 / proc_h).astype(np.int32)
+                        # the first chunk of a page is never padding-cropped
+                        vr[:, 0] = np.where(page_gather[:, 0] >= 0, h4, 0)
+                        fwd = self._forward_resize_stats if device_resize else self._forward_stats
+                        stats_d, n_d, thr_d = fwd(
+                            self.params, *args, jnp.asarray(page_gather), jnp.asarray(vr),
+                            max_comps=max_comps,
+                        )
+                    with stage("detection.device_get"):
+                        stats, n_comp, thr = jax.device_get((stats_d, n_d, thr_d))
+                        stats, n_comp, thr = np.asarray(stats), np.asarray(n_comp), np.asarray(thr)
+                except Exception as e:  # backend/compile failure: host path still works
+                    logger.warning(
+                        "on-device detection postprocess failed (%s); falling back to host CRAFT", e
                     )
-                with stage("detection.device_get"):
-                    stats, n_comp, thr = jax.device_get((stats_d, n_d, thr_d))
-                    stats, n_comp, thr = np.asarray(stats), np.asarray(n_comp), np.asarray(thr)
+                    self._stats_broken = True
+                    device_stats = False
 
+            if device_stats:
                 pages = []
                 for idx in range(n_pages):
                     heights = [h for i, h in zip(split_index, split_heights) if i == idx]
