@@ -108,14 +108,22 @@ def main():
         return best
 
     full_s = best_of(lambda: rec(pages, det_predictor=det))
-    det_s = best_of(lambda: det(pages))
-    rec_s = best_of(lambda: rec(pages, polygons=polys))
+    # split timings + latency are detail; never let them kill the headline
+    try:
+        det_s = best_of(lambda: det(pages))
+        rec_s = best_of(lambda: rec(pages, polygons=polys))
+    except Exception:
+        det_s = rec_s = float("inf")
 
-    lat = []
-    for _ in range(5):
-        t0 = time.time()
-        rec([pages[0]], det_predictor=det)
-        lat.append(time.time() - t0)
+    lat = [float("nan")]
+    try:
+        lat = []
+        for _ in range(5):
+            t0 = time.time()
+            rec([pages[0]], det_predictor=det)
+            lat.append(time.time() - t0)
+    except Exception:
+        lat = lat or [float("nan")]
 
     pages_per_sec = N_PAGES / full_s
     print(
