@@ -24,6 +24,7 @@ class BasePredictor:
     # per-platform default batch sizes; subclasses override
     default_batch_sizes: Dict[str, int] = {"cpu": 2, "tpu": 32}
     batch_size: Optional[int] = None
+    mesh = None  # set by setup_mesh() when USE_MESH is on
 
     def __init__(self, checkpoint: Optional[str] = None):
         self.disable_tqdm = settings.DISABLE_TQDM
@@ -36,6 +37,39 @@ class BasePredictor:
         if self.batch_size is not None:
             return self.batch_size
         return self.default_batch_sizes[settings.DEVICE]
+
+    def setup_mesh(self):
+        """dp mesh for batch-sharded predictors (USE_MESH): replicate params
+        over every device, remember the mesh so forward inputs can shard
+        their batch axis over the data axis. Call at the end of _load."""
+        import jax
+
+        self.mesh = None
+        if len(jax.devices()) > 1 and settings.USE_MESH:
+            from surya_tpu.parallel import mesh as meshlib
+
+            self.mesh = meshlib.make_mesh(n_model=1)
+            rep = meshlib.replicated(self.mesh)
+            self.params = jax.tree.map(lambda x: jax.device_put(x, rep), self.params)
+
+    def shard_pixels(self, arr):
+        """Place a [B, ...] batch on the mesh's data axis (replicating when
+        no mesh is active). B must be a multiple of the data-axis size —
+        round_batch guarantees that for bucketed batches."""
+        import jax
+
+        if self.mesh is None:
+            return jax.device_put(arr)
+        from surya_tpu.parallel import mesh as meshlib
+
+        return jax.device_put(arr, meshlib.batch_sharding(self.mesh))
+
+    def round_batch(self, n: int) -> int:
+        """Round a batch bucket up so it divides evenly over the data axis."""
+        if getattr(self, "mesh", None) is None:
+            return n
+        d = self.mesh.shape[settings.MESH_DATA_AXIS]
+        return -(-n // d) * d
 
     @staticmethod
     def pad_to_batch_size(arr: np.ndarray, batch_size: int) -> np.ndarray:

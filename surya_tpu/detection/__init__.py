@@ -44,6 +44,7 @@ class DetectionPredictor(BasePredictor):
         self.params, self.config = load_detection_model(checkpoint)
         self.processor_size = self.config.image_size  # (h, w)
         self._stats_broken = False  # set when the on-device postprocess fails
+        self.setup_mesh()  # dp: pixel batches shard over the data axis
 
         # _apply_heat is the patchable graph tail (benches hook it): float
         # sigmoid heatmaps at the decode head's 1/4 resolution
@@ -196,6 +197,7 @@ class DetectionPredictor(BasePredictor):
             while bucket < min(n_real, batch_size):
                 bucket *= 2
             rows = min(max(bucket, n_real), max(batch_size, n_real))
+            rows = self.round_batch(rows)  # even blocks over the dp mesh
 
             device_resize = settings.DETECTOR_DEVICE_RESIZE
             if device_resize is None:
@@ -260,9 +262,9 @@ class DetectionPredictor(BasePredictor):
 
                 try:
                     with stage("detection.forward"):
-                        args = (jnp.asarray(pixels),)
+                        args = (self.shard_pixels(pixels),)
                         if device_resize:
-                            args += (jnp.asarray(Vs), jnp.asarray(Hs), jnp.asarray(gid))
+                            args += (jnp.asarray(Vs), jnp.asarray(Hs), self.shard_pixels(np.asarray(gid)))
                         # head rows = proc_h / 4 (decode head stride)
                         h4 = self.processor_size[0] // 4
                         vr = np.ceil(valid_rows * h4 / proc_h).astype(np.int32)
@@ -307,10 +309,11 @@ class DetectionPredictor(BasePredictor):
             with stage("detection.forward"):
                 if device_resize:
                     out = self._forward_resize(
-                        self.params, jnp.asarray(pixels), jnp.asarray(Vs), jnp.asarray(Hs), jnp.asarray(gid)
+                        self.params, self.shard_pixels(pixels), jnp.asarray(Vs), jnp.asarray(Hs),
+                        self.shard_pixels(np.asarray(gid)),
                     )
                 else:
-                    out = self._forward(self.params, jnp.asarray(pixels))
+                    out = self._forward(self.params, self.shard_pixels(pixels))
             with stage("detection.device_get"):
                 compact = np.asarray(jax.device_get(out[:n_real, :, :, :n_maps]))
 

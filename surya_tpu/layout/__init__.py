@@ -66,6 +66,7 @@ class LayoutPredictor(BasePredictor):
 
     def _load(self, checkpoint: Optional[str]):
         self.params, self.config = load_layout_model(checkpoint, tiny=self._tiny)
+        self.setup_mesh()  # dp: tile batches shard over the data axis
         cfg = self.config
         from surya_tpu.models import layout_model
 
@@ -97,6 +98,7 @@ class LayoutPredictor(BasePredictor):
         assert all(isinstance(im, Image.Image) for im in images)
         if batch_size is None:
             batch_size = self.get_batch_size()
+        batch_size = self.round_batch(batch_size)
 
         slicer = ImageSlicer(settings.LAYOUT_SLICE_MIN, settings.LAYOUT_SLICE_SIZE)
         img_counts = [slicer.slice_count(image) for image in images]
@@ -125,7 +127,7 @@ class LayoutPredictor(BasePredictor):
             pixels = np.stack([self.prepare_image(im) for im in batch_images])
             pixels = self.pad_to_batch_size(pixels, batch_size)
 
-            packed = np.asarray(self._generate(self.params, jax.device_put(pixels)))[:current]
+            packed = np.asarray(self._generate(self.params, self.shard_pixels(pixels)))[:current]
             boxes = packed[..., :7]
             logits = packed[..., 7:-1]
             valid = packed[..., -1] > 0.5

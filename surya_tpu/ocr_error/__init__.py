@@ -77,6 +77,7 @@ class OCRErrorPredictor(BasePredictor):
 
     def _load(self, checkpoint: Optional[str]):
         self.params, self.config, self.processor = load_ocr_error_model(checkpoint, tiny=self._tiny)
+        self.setup_mesh()  # dp: text batches shard over the data axis
         cfg = self.config
 
         @jax.jit
@@ -91,6 +92,7 @@ class OCRErrorPredictor(BasePredictor):
     def batch_ocr_error_detection(self, texts: List[str], batch_size: Optional[int] = None) -> OCRErrorDetectionResult:
         if batch_size is None:
             batch_size = self.get_batch_size()
+        batch_size = self.round_batch(batch_size)
 
         encoded = self.processor(texts, max_length=self.config.max_position_embeddings)
         input_ids = encoded["input_ids"]
@@ -114,7 +116,7 @@ class OCRErrorPredictor(BasePredictor):
             ids = self.pad_to_batch_size(ids, batch_size)
             mask = self.pad_to_batch_size(mask, batch_size)
 
-            logits = self._forward(self.params, jnp.asarray(ids), jnp.asarray(mask))
+            logits = self._forward(self.params, self.shard_pixels(ids), self.shard_pixels(mask))
             predictions.extend(np.asarray(logits).argmax(axis=1)[:current].tolist())
 
         return OCRErrorDetectionResult(texts=texts, labels=[ID2LABEL[p] for p in predictions])

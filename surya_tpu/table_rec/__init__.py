@@ -64,6 +64,7 @@ class TableRecPredictor(BasePredictor):
 
     def _load(self, checkpoint: Optional[str]):
         self.params, self.config = load_table_rec_model(checkpoint, tiny=self._tiny)
+        self.setup_mesh()  # dp: table batches shard over the data axis
         self.shaper = LabelShaper()
         cfg = self.config
 
@@ -131,7 +132,9 @@ class TableRecPredictor(BasePredictor):
         enc_pad = self.pad_to_batch_size(enc_states, batch_size)
         seq_lens = np.full((batch_size,), L, np.int32)
 
-        args = jax.device_put((enc_pad, vec_pad, seq_lens))
+        args = (
+            self.shard_pixels(enc_pad), self.shard_pixels(vec_pad), self.shard_pixels(seq_lens),
+        )
         packed = np.asarray(
             self._generate(self.params, *args, max_steps=self.config.max_boxes)
         )[:n]
@@ -163,6 +166,7 @@ class TableRecPredictor(BasePredictor):
         assert all(isinstance(im, Image.Image) for im in images)
         if batch_size is None:
             batch_size = self.get_batch_size()
+        batch_size = self.round_batch(batch_size)
         if len(images) == 0:
             return []
 
@@ -191,7 +195,7 @@ class TableRecPredictor(BasePredictor):
 
             pixels = np.stack([self.prepare_image(im) for im in batch_images])
             pixels = self.pad_to_batch_size(pixels, batch_size)
-            enc_states = np.asarray(self._encode(self.params, jnp.asarray(pixels)))[:current]
+            enc_states = np.asarray(self._encode(self.params, self.shard_pixels(pixels)))[:current]
 
             vectors = self._build_query_vectors(batch_query_items)
             rowcol_predictions = self._run_pass(enc_states, vectors, batch_size)

@@ -146,6 +146,47 @@ def test_meshed_tp_recognition_predictor():
         assert abs(tl_tp.confidence - tl_single.confidence) < 1e-3
 
 
+def test_meshed_batch_predictors():
+    """Detection/layout/table-rec/OCR-error shard their batch axis over the
+    dp mesh; results must match the single-device run."""
+    import jax
+    from PIL import Image, ImageDraw
+
+    from surya_tpu.settings import settings
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    img = Image.new("RGB", (512, 512), "white")
+    d = ImageDraw.Draw(img)
+    d.text((20, 30), "mesh layout line", fill="black", font_size=24)
+    d.rectangle((50, 200, 450, 400), outline="black", width=2)
+    texts = ["This is a sensible sentence.", "a]]3 ;;garbled@@ t3xt//"]
+
+    from surya_tpu.layout import LayoutPredictor
+    from surya_tpu.ocr_error import OCRErrorPredictor
+
+    lay_single = LayoutPredictor(tiny=True)
+    base_lay = lay_single([img])
+    err_single = OCRErrorPredictor(tiny=True)
+    base_err = err_single(texts)
+
+    old = settings.USE_MESH
+    settings.USE_MESH = True
+    try:
+        lay = LayoutPredictor(tiny=True)
+        assert lay.mesh is not None
+        mesh_lay = lay([img])
+        err = OCRErrorPredictor(tiny=True)
+        mesh_err = err(texts)
+    finally:
+        settings.USE_MESH = old
+
+    assert len(mesh_lay) == 1
+    assert [b.label for b in mesh_lay[0].bboxes] == [b.label for b in base_lay[0].bboxes]
+    assert mesh_err.labels == base_err.labels
+
+
 def test_dryrun_multichip_step():
     """The driver's dry run: full prefill + decode chunk over a dp+tp mesh."""
     import jax
