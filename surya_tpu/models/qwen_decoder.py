@@ -110,6 +110,21 @@ def _rope_cos_sin(config: DecoderConfig, positions: jnp.ndarray):
     return jnp.cos(ang), jnp.sin(ang)
 
 
+def quantize_weights(params: dict) -> dict:
+    """Weight-only int8 for every decoder projection (RECOGNITION_WEIGHT_
+    QUANTIZE). Decode re-reads the full decoder weight set from HBM on every
+    one of the K on-device steps per chunk, so weight bytes — not FLOPs —
+    bound small-batch decode; int8 halves them vs bf16. Activations stay in
+    compute dtype (per-output-channel scales fold into the matmul output)."""
+    for layer in params["layers"]:
+        sa, mlp = layer["self_attn"], layer["mlp"]
+        for k in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            sa[k] = nn.quantize_linear(sa[k])
+        for k in ("gate_proj", "up_proj", "down_proj"):
+            mlp[k] = nn.quantize_linear(mlp[k])
+    return params
+
+
 def _proj_qkv(p, x, config: DecoderConfig):
     B, S, _ = x.shape
     q = nn.linear(p["q_proj"], x).reshape(B, S, config.num_attention_heads, config.head_dim)

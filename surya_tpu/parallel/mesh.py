@@ -43,16 +43,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def _decoder_tp_spec(path: tuple) -> P:
     """TP plan for the recognition decoder params: column-parallel in-proj
-    kernels, row-parallel out-proj kernels, everything else replicated."""
+    kernels, row-parallel out-proj kernels, everything else replicated.
+    int8 kernels (kernel_q) shard like their float counterparts; their
+    per-output-channel scales shard like biases."""
     keys = [str(k) for k in path]
-    if "kernel" in keys:
+    if "kernel" in keys or "kernel_q" in keys:
         for col in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
             if col in keys:
                 return P(None, MODEL_AXIS)
         for row in ("o_proj", "down_proj"):
             if row in keys:
                 return P(MODEL_AXIS, None)
-    if "bias" in keys:
+    if "bias" in keys or "scale" in keys:
         for col in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
             if col in keys:
                 return P(MODEL_AXIS)

@@ -98,6 +98,8 @@ def load_recognition_model(
             ckpt_dir, "recognition",
             lambda: foundation.convert_torch(load_safetensors_dir(ckpt_dir), config, dtype=dtype),
         )
+        if settings.RECOGNITION_WEIGHT_QUANTIZE:
+            params["decoder"] = qwen_decoder.quantize_weights(params["decoder"])
         processor = RecognitionProcessor(
             tokenizer,
             patch_size=enc.patch_size,
@@ -138,6 +140,8 @@ def load_recognition_model(
         decoder=dec,
     )
     params = foundation.init_params(config, jax.random.PRNGKey(settings.WEIGHT_SEED), dtype=dtype)
+    if settings.RECOGNITION_WEIGHT_QUANTIZE:
+        params["decoder"] = qwen_decoder.quantize_weights(params["decoder"])
     processor = RecognitionProcessor(
         tokenizer,
         patch_size=enc.patch_size,

@@ -88,6 +88,9 @@ class Settings(BaseModel):
     # Text recognition
     RECOGNITION_MODEL_CHECKPOINT: str = "s3://text_recognition/2025_05_16"
     RECOGNITION_MODEL_QUANTIZE: bool = False  # int8 KV cache (half the HBM)
+    # weight-only int8 for the decoder projections: halves the weight bytes
+    # each decode step streams from HBM (decode is weight-bandwidth-bound)
+    RECOGNITION_WEIGHT_QUANTIZE: bool = False
     RECOGNITION_MAX_TOKENS: Optional[int] = None
     RECOGNITION_BATCH_SIZE: Optional[int] = None  # default 8 on cpu, 256 on tpu
     RECOGNITION_BENCH_DATASET_NAME: str = "vikp/rec_bench"
