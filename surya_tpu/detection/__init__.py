@@ -40,8 +40,12 @@ class DetectionPredictor(BasePredictor):
     batch_size = settings.DETECTOR_BATCH_SIZE
     default_batch_sizes = {"cpu": 8, "tpu": 36}
 
+    def __init__(self, checkpoint: Optional[str] = None, tiny: bool = False):
+        self._tiny = tiny
+        super().__init__(checkpoint)
+
     def _load(self, checkpoint: Optional[str]):
-        self.params, self.config = load_detection_model(checkpoint)
+        self.params, self.config = load_detection_model(checkpoint, tiny=self._tiny)
         self.processor_size = self.config.image_size  # (h, w)
         self._stats_broken = False  # set when the on-device postprocess fails
         self.setup_mesh()  # dp: pixel batches shard over the data axis

@@ -19,6 +19,7 @@ logger = get_logger()
 
 def load_detection_model(
     checkpoint: Optional[str] = None,
+    tiny: bool = False,
 ) -> Tuple[dict, efficientvit.EfficientViTConfig]:
     """Returns (params, config). Reads a local/downloaded safetensors
     checkpoint when reachable; falls back to random init if
@@ -55,6 +56,14 @@ def load_detection_model(
             "set ALLOW_RANDOM_WEIGHTS=true for random init (tests/benches only)"
         )
     logger.warning("detection: random-init weights (no checkpoint reachable)")
-    config = efficientvit.EfficientViTConfig()
+    if tiny:
+        # same stage/stride structure and processor size as production (the
+        # chunking/stitch/postprocess mechanics depend on those), tiny widths
+        config = efficientvit.EfficientViTConfig(
+            widths=(8, 8, 16, 16, 32), depths=(1, 1, 1, 1, 1),
+            head_dim=8, decoder_layer_hidden_size=16, decoder_hidden_size=32,
+        )
+    else:
+        config = efficientvit.EfficientViTConfig()
     params = efficientvit.init_params(config, jax.random.PRNGKey(settings.WEIGHT_SEED), dtype=dtype)
     return params, config

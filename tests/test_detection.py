@@ -12,7 +12,7 @@ from surya_tpu.detection.schema import TextDetectionResult
 def detection_predictor():
     from surya_tpu.detection import DetectionPredictor
 
-    return DetectionPredictor()
+    return DetectionPredictor(tiny=True)
 
 
 def test_detection_schema(detection_predictor, test_image):

@@ -31,7 +31,7 @@ def blob_detector():
     from surya_tpu.detection import DetectionPredictor
     from surya_tpu.models import efficientvit
 
-    det = DetectionPredictor()
+    det = DetectionPredictor(tiny=True)
     head = det.params["head"]["classifier"]
     if "bias" in head:
         head["bias"] = jnp.full_like(head["bias"], -6.0)
