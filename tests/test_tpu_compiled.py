@@ -162,3 +162,120 @@ print("DECODE_CHUNK_BF16_OK", int(agree.sum()), agree.size)
 """
     )
     assert "DECODE_CHUNK_BF16_OK" in out
+
+
+@requires_tpu
+def test_connected_components_compiled():
+    """The on-device stats program (segmented min-scans + ordinal flood +
+    bisection threshold) compiles and matches the CPU oracle on TPU."""
+    out = _run_on_tpu(
+        """
+import numpy as np
+import jax, jax.numpy as jnp
+assert jax.devices()[0].platform != "cpu", jax.devices()
+from surya_tpu.ops import connected_components as cc
+
+heat = np.zeros((2, 448, 224), np.float32)
+for p in range(2):
+    for i in range(40):
+        heat[p, 5 + i*11 : 9 + i*11, 10:200] = 0.9
+heat[1, 100:104, 10:200] = 0.0  # page variation
+stats, n = jax.jit(lambda h: cc.component_stats(h, 0.3, max_comps=512))(jnp.asarray(heat))
+stats, n = np.asarray(stats), np.asarray(n)
+assert n[0] == 40 and n[1] == 39, n
+row = stats[0, 0]
+assert row[cc.AREA] == 4 * 190, row[cc.AREA]
+assert row[cc.MIN_X] == 10 and row[cc.MAX_X] == 199
+assert abs(row[cc.MAX_VAL] - 0.9) < 1e-3
+top10 = np.asarray(cc.dynamic_threshold_inputs(jnp.asarray(heat)))
+assert 0.1 < top10[0] < 0.95, top10
+print("CC_COMPILED_OK")
+"""
+    )
+    assert "CC_COMPILED_OK" in out
+
+
+@requires_tpu
+def test_detection_stats_path_e2e_on_tpu():
+    """Full DetectionPredictor with the on-device stats postprocess vs the
+    host CRAFT path on the real chip (tiny model, blob-hooked heat)."""
+    out = _run_on_tpu(
+        """
+import numpy as np
+import jax, jax.numpy as jnp
+from PIL import Image, ImageDraw
+assert jax.devices()[0].platform != "cpu", jax.devices()
+from surya_tpu.detection import DetectionPredictor
+from surya_tpu.models import efficientvit
+from surya_tpu.settings import settings
+
+det = DetectionPredictor(tiny=True)
+head = det.params["head"]["classifier"]
+if "bias" in head:
+    head["bias"] = jnp.full_like(head["bias"], -6.0)
+config = det.config
+def apply_heat(params, x):
+    logits = efficientvit._forward_logits(params, config, x)
+    dark = 1.0 - jnp.min(x.astype(jnp.float32), axis=-1)
+    d4 = jax.lax.reduce_window(dark, -jnp.inf, jax.lax.max, (1, 4, 4), (1, 4, 4), "VALID")
+    blob = jax.lax.reduce_window(d4, -jnp.inf, jax.lax.max, (1, 3, 9), (1, 1, 1), "SAME")
+    return jax.nn.sigmoid(logits.astype(jnp.float32).at[..., 0].add(14.0 * blob))
+det._apply_heat = apply_heat
+
+img = Image.new("RGB", (1000, 800), "white")
+d = ImageDraw.Draw(img)
+for i in range(8):
+    d.rectangle((60, 50 + i * 90, 700, 70 + i * 90), fill="black")
+settings.DETECTOR_ON_DEVICE_POSTPROCESS = True
+dev = det([img])[0]
+assert not det._stats_broken, "stats path fell back"
+settings.DETECTOR_ON_DEVICE_POSTPROCESS = False
+host = det([img])[0]
+assert len(dev.bboxes) == len(host.bboxes) == 8, (len(dev.bboxes), len(host.bboxes))
+print("STATS_E2E_OK")
+"""
+    , timeout=580)
+    assert "STATS_E2E_OK" in out
+
+
+@requires_tpu
+def test_weight_quantized_decode_on_tpu():
+    """int8-weight decoder runs compiled on TPU and tracks the bf16 path."""
+    out = _run_on_tpu(
+        """
+import copy
+import numpy as np
+import jax, jax.numpy as jnp
+assert jax.devices()[0].platform != "cpu", jax.devices()
+from surya_tpu.models import foundation, qwen_decoder, qwen_encoder
+
+enc = qwen_encoder.EncoderConfig(depth=1, hidden_size=64, intermediate_size=128, num_heads=4,
+                                 window_size=56, out_hidden_size=256, fullatt_block_indexes=())
+dec = qwen_decoder.DecoderConfig(vocab_size=256, hidden_size=256, intermediate_size=512,
+                                 num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4)
+cfg = foundation.FoundationConfig(vocab_size=256, encoder=enc, decoder=dec)
+params = foundation.init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+params_q = copy.deepcopy(params)
+params_q["decoder"] = qwen_decoder.quantize_weights(params_q["decoder"])
+
+tokens = jnp.asarray(np.arange(4, dtype=np.int32) + 5)
+active = jnp.ones(4, bool)
+prompt = jnp.asarray(np.tile(np.array([[3, 4, 5]], np.int32), (4, 1)))
+lens = jnp.asarray(np.full(4, 3, np.int32))
+
+def run(p):
+    cache = qwen_decoder.init_cache(dec, 4, 64, jnp.bfloat16)
+    embeds = foundation.embed_prompt_tokens(p, cfg, prompt, jnp.full((4, 3), -1, jnp.int32), jnp.zeros((1, 256), jnp.bfloat16))
+    nk, nv, _ = qwen_decoder.prefill(p["decoder"], dec, embeds, lens)
+    cache = qwen_decoder.merge_prefill(cache, nk, nv, lens, jnp.arange(4))
+    _, toks, scores, *_ = foundation.decode_chunk(p, cfg, cache, tokens, active, num_steps=8)
+    return np.asarray(toks), np.asarray(scores)
+
+tf, sf = run(params)
+tq, sq = run(params_q)
+match = (tf == tq).mean()
+assert match > 0.9, match  # bf16 + int8 drift may flip rare near-ties
+print("WQ_DECODE_OK")
+"""
+    )
+    assert "WQ_DECODE_OK" in out
