@@ -171,6 +171,11 @@ def test_meshed_batch_predictors():
     err_single = OCRErrorPredictor(tiny=True)
     base_err = err_single(texts)
 
+    from surya_tpu.detection import DetectionPredictor
+
+    det_single = DetectionPredictor(tiny=True)
+    base_det = det_single([img])
+
     old = settings.USE_MESH
     settings.USE_MESH = True
     try:
@@ -179,12 +184,16 @@ def test_meshed_batch_predictors():
         mesh_lay = lay([img])
         err = OCRErrorPredictor(tiny=True)
         mesh_err = err(texts)
+        det = DetectionPredictor(tiny=True)
+        assert det.mesh is not None
+        mesh_det = det([img])
     finally:
         settings.USE_MESH = old
 
     assert len(mesh_lay) == 1
     assert [b.label for b in mesh_lay[0].bboxes] == [b.label for b in base_lay[0].bboxes]
     assert mesh_err.labels == base_err.labels
+    assert [b.bbox for b in mesh_det[0].bboxes] == [b.bbox for b in base_det[0].bboxes]
 
 
 def test_dryrun_multichip_step():
