@@ -49,33 +49,12 @@ def build_page(width=1240, height=1754):
 
 
 def install_synthetic_detector(det):
-    """Keep the production detection program (full forward, compact uint8
-    output, on-device resize) but add input-derived line-blob logits so CRAFT
-    does the work a real checkpoint would cause on this page."""
-    import jax
-    import jax.numpy as jnp
-
+    """Keep the production detection program (full forward, on-device
+    postprocess/resize) but add input-derived line-blob logits so CRAFT does
+    the work a real checkpoint would cause on this page."""
     from surya_tpu.models import efficientvit
 
-    # blank the classifier so random-weight logits sit well below threshold
-    head = det.params["head"]["classifier"]
-    if "bias" in head:
-        head["bias"] = jnp.full_like(head["bias"], -6.0)
-
-    config = det.config
-
-    def apply_heat(params, x):
-        # x: [B, H, W, 3] float in [0, 1] (the production graph tail input)
-        logits = efficientvit._forward_logits(params, config, x)
-        # perfect-detector blobs: darkness -> head-res max-pool -> horizontal
-        # close so each drawn text line becomes one connected component
-        dark = 1.0 - jnp.min(x.astype(jnp.float32), axis=-1)  # [B, H, W]
-        d4 = jax.lax.reduce_window(dark, -jnp.inf, jax.lax.max, (1, 4, 4), (1, 4, 4), "VALID")
-        blob = jax.lax.reduce_window(d4, -jnp.inf, jax.lax.max, (1, 3, 9), (1, 1, 1), "SAME")
-        logits = logits.at[..., 0].add(14.0 * blob)
-        return jax.nn.sigmoid(logits.astype(jnp.float32))
-
-    det._apply_heat = apply_heat
+    efficientvit.install_blob_detector(det)
 
 
 def main():
@@ -109,11 +88,16 @@ def main():
 
     full_s = best_of(lambda: rec(pages, det_predictor=det))
     # split timings + latency are detail; never let them kill the headline
+    # (and a failure in one split must not discard the other's measurement)
+    det_s = rec_s = float("inf")
     try:
         det_s = best_of(lambda: det(pages))
+    except Exception:
+        pass
+    try:
         rec_s = best_of(lambda: rec(pages, polygons=polys))
     except Exception:
-        det_s = rec_s = float("inf")
+        pass
 
     lat = [float("nan")]
     try:

@@ -91,12 +91,15 @@ class DetectionPredictor(BasePredictor):
                 jnp.arange(h4)[None, None, :, None] < valid_rows[:, :, None, None]
             )
             page_maps = jnp.where(ok, maps, 0.0).reshape(P, K * h4, w4)
-            top10 = cc.dynamic_threshold_inputs(page_maps)
+            # decile over REAL page pixels only — chunk-count padding would
+            # otherwise dilute the threshold toward its floor
+            valid_px = valid_rows.sum(axis=1) * w4
+            top10 = cc.dynamic_threshold_inputs(page_maps, valid_px)
             scaling = jnp.clip(top10 / 0.7, 0.0, 1.0) ** 0.5
             low = jnp.clip(settings.DETECTOR_BLANK_THRESHOLD * scaling, 0.1, 0.6)
             thr = jnp.clip(settings.DETECTOR_TEXT_THRESHOLD * scaling, 0.15, 0.8)
-            stats, n = cc.component_stats(page_maps, low, max_comps=max_comps)
-            return stats, n, thr
+            stats, n, n_raw = cc.component_stats(page_maps, low, max_comps=max_comps)
+            return stats, n, n_raw, thr
 
         @partial(jax.jit, static_argnames=())
         def forward(params, pixels_u8):
@@ -275,13 +278,22 @@ class DetectionPredictor(BasePredictor):
                         # the first chunk of a page is never padding-cropped
                         vr[:, 0] = np.where(page_gather[:, 0] >= 0, h4, 0)
                         fwd = self._forward_resize_stats if device_resize else self._forward_stats
-                        stats_d, n_d, thr_d = fwd(
+                        stats_d, n_d, nraw_d, thr_d = fwd(
                             self.params, *args, jnp.asarray(page_gather), jnp.asarray(vr),
                             max_comps=max_comps,
                         )
                     with stage("detection.device_get"):
-                        stats, n_comp, thr = jax.device_get((stats_d, n_d, thr_d))
+                        stats, n_comp, n_raw, thr = jax.device_get((stats_d, n_d, nraw_d, thr_d))
                         stats, n_comp, thr = np.asarray(stats), np.asarray(n_comp), np.asarray(thr)
+                        n_raw = np.asarray(n_raw)
+                    if (n_raw[: len(batch_images)] > max_comps).any():
+                        # stats slots truncated (very noisy page): this batch
+                        # goes through the host path so no component is lost
+                        logger.warning(
+                            "page exceeded DETECTOR_MAX_COMPONENTS=%d (max %d); "
+                            "host postprocess for this batch", max_comps, int(n_raw.max()),
+                        )
+                        device_stats = False
                 except Exception as e:  # backend/compile failure: host path still works
                     logger.warning(
                         "on-device detection postprocess failed (%s); falling back to host CRAFT", e

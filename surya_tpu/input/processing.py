@@ -61,12 +61,19 @@ def slice_and_pad_poly(image_array: np.ndarray, coordinates) -> np.ndarray:
     if bbox[3] <= bbox[1] or bbox[2] <= bbox[0] or len(local) < 3 or height == 0 or width == 0:
         return cropped
 
-    # axis-aligned quads (the typical detection output) cover their whole
-    # bbox — the outside-polygon mask would be a no-op, skip it
+    # axis-aligned rectangles in winding order (the typical detection
+    # output) cover their whole bbox — the outside-polygon mask would be a
+    # no-op, skip it. Consecutive corners must share an axis so a
+    # bowtie-ordered quad (self-intersecting) still gets masked.
     if len(local) == 4:
         xs = sorted(p[0] for p in local)
         ys = sorted(p[1] for p in local)
-        if xs[0] == xs[1] == 0 and ys[0] == ys[1] == 0 and xs[2] == xs[3] and ys[2] == ys[3]:
+        spans_bbox = xs[0] == xs[1] == 0 and ys[0] == ys[1] == 0 and xs[2] == xs[3] and ys[2] == ys[3]
+        winding = all(
+            local[i][0] == local[(i + 1) % 4][0] or local[i][1] == local[(i + 1) % 4][1]
+            for i in range(4)
+        )
+        if spans_bbox and winding:
             return cropped
 
     try:

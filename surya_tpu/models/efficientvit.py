@@ -352,3 +352,25 @@ def convert_torch(tensors, config: EfficientViTConfig, dtype=jnp.float32):
     }
     bag.warn_unused("detection")
     return {"stem": stem, "stages": stages, "head": head}
+
+
+def install_blob_detector(det):
+    """Replace a DetectionPredictor's heatmap tail with a perfect line
+    detector driven by input darkness (4x4 max-pool to head resolution, then
+    a horizontal close) on top of a bias-blanked classifier, keeping the
+    full production forward's cost. Shared by bench.py and the synthetic
+    postprocess tests — random weights can't produce coherent maps, and
+    three hand-synced copies of this hook drifted once already."""
+    head = det.params["head"]["classifier"]
+    if "bias" in head:
+        head["bias"] = jnp.full_like(head["bias"], -6.0)
+    config = det.config
+
+    def apply_heat(params, x):
+        logits = _forward_logits(params, config, x)
+        dark = 1.0 - jnp.min(x.astype(jnp.float32), axis=-1)
+        d4 = jax.lax.reduce_window(dark, -jnp.inf, jax.lax.max, (1, 4, 4), (1, 4, 4), "VALID")
+        blob = jax.lax.reduce_window(d4, -jnp.inf, jax.lax.max, (1, 3, 9), (1, 1, 1), "SAME")
+        return jax.nn.sigmoid(logits.astype(jnp.float32).at[..., 0].add(14.0 * blob))
+
+    det._apply_heat = apply_heat

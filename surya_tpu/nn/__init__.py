@@ -48,7 +48,9 @@ def quantize_linear(p):
     streams from HBM — the dominant cost of small-batch decode steps."""
     if "kernel_q" in p or "kernel" not in p:
         return p
-    w = p["kernel"]
+    # quantize in float32: a bf16 checkpoint's ratio near +-127 sits on a
+    # 0.5-spaced grid and would misassign the largest-magnitude levels
+    w = p["kernel"].astype(jnp.float32)
     scale = jnp.max(jnp.abs(w), axis=0) / 127.0
     q = jnp.round(w / jnp.maximum(scale, 1e-8)[None, :]).astype(jnp.int8)
     out = {"kernel_q": q, "scale": scale.astype(jnp.float32)}

@@ -2,17 +2,19 @@
 
 Replaces the host CRAFT labeling pass (reference surya/detection/heatmap.py:
 27-107 runs cv2.connectedComponentsWithStats on the full-page heatmap) with
-an in-graph equivalent: threshold -> 4-connected min-index label propagation
-with pointer jumping inside lax.while_loop -> segment-reduced component
-stats. Only [pages, max_comps, 10] stats cross device->host (~KBs) instead
-of per-page heatmaps; the final CRAFT box arithmetic (dilation margins,
-min-area rectangle) runs on host from the stats
-(detection/heatmap.boxes_from_stats).
+an in-graph equivalent: threshold -> 4-connected min-label flooding by
+alternating segmented min-scans along rows/columns inside lax.while_loop ->
+segment-reduced component stats. Only [pages, max_comps, 11] stats cross
+device->host (~KBs) instead of per-page heatmaps; the final CRAFT box
+arithmetic (dilation margins, min-area rectangle) runs on host from the
+stats (detection/heatmap.boxes_from_stats).
 
-Labeling converges in O(log diameter) pointer-jumping rounds, not O(path
-length): each round takes one neighborhood min then two label-of-label
-gathers. Everything is static-shape; pages are processed batched with
-boundaries naturally isolated (shifts never cross the page axis).
+Everything here is deliberately gather-/sort-/scatter-free: log-shift scans
+(pad+slice+min), cumsum, compares and segment reductions. The obvious
+formulations - pointer jumping via take_along_axis, top_k root selection,
+histogram segment_sums - each added minutes of XLA compile time on the TPU
+backend (measured). Pages are processed batched with boundaries naturally
+isolated (shifts never cross the page axis).
 """
 
 from __future__ import annotations
@@ -101,13 +103,15 @@ def label_components(mask: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("max_comps",))
-def component_stats(heat: jnp.ndarray, low_text: jnp.ndarray, max_comps: int = 256) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def component_stats(heat: jnp.ndarray, low_text: jnp.ndarray, max_comps: int = 256) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Threshold heat [P, H, W] (float in [0,1]) at low_text (scalar or [P])
     and reduce per-component stats.
 
-    Returns (stats [P, max_comps, STATS_DIM] float32, n_comp [P] int32).
-    Components enumerate in row-major first-pixel order; pages with more
-    than max_comps components keep the first max_comps."""
+    Returns (stats [P, max_comps, STATS_DIM] float32, n_comp [P] int32,
+    n_raw [P] int32). Components enumerate in row-major first-pixel order;
+    pages with more than max_comps components keep the first max_comps —
+    n_raw > max_comps tells the caller truncation happened (the detection
+    predictor then reroutes those pages through the host path)."""
     P, H, W = heat.shape
     low = jnp.broadcast_to(jnp.asarray(low_text, jnp.float32), (P,))[:, None, None]
     mask = heat > low
@@ -125,7 +129,8 @@ def component_stats(heat: jnp.ndarray, low_text: jnp.ndarray, max_comps: int = 2
     pix = jnp.arange(H * W, dtype=jnp.int32)[None, :]
     is_root = flat_mask & (flat_lab == pix + 1)
     ordinal = jnp.cumsum(is_root.astype(jnp.int32), axis=1)  # [P, HW]
-    n_comp = jnp.minimum(ordinal[:, -1], max_comps).astype(jnp.int32)
+    n_raw = ordinal[:, -1].astype(jnp.int32)
+    n_comp = jnp.minimum(n_raw, max_comps)
     seed = jnp.where(is_root, ordinal, _BIG).reshape(P, H, W)
     comp = _min_flood(seed, mask, _BIG).reshape(P, H * W)
     # 1-based component id; 0 = background / beyond-max_comps overflow
@@ -162,10 +167,10 @@ def component_stats(heat: jnp.ndarray, low_text: jnp.ndarray, max_comps: int = 2
     xs_b = jnp.broadcast_to(xs, (P, H * W))
     ys_b = jnp.broadcast_to(ys, (P, H * W))
     stats = jax.vmap(page_stats)(seg, flat_heat, one, xs_b, ys_b)  # [P, C+1, STATS_DIM]
-    return stats[:, 1:, :], n_comp
+    return stats[:, 1:, :], n_comp, n_raw
 
 
-def dynamic_threshold_inputs(heat: jnp.ndarray) -> jnp.ndarray:
+def dynamic_threshold_inputs(heat: jnp.ndarray, valid_px=None) -> jnp.ndarray:
     """Top-10% mean intensity per page (reference heatmap.py:14-24 computes
     this on host; here it stays on device). heat [P, H, W] -> [P].
 
@@ -173,11 +178,19 @@ def dynamic_threshold_inputs(heat: jnp.ndarray) -> jnp.ndarray:
     pure compares + reductions): top_k sorts and histogram segment-scatters
     both made first-compile time explode on the TPU backend. The mean is
     taken over the >=threshold set; ties within the final 2^-10 interval
-    perturb it by <0.1% — far below the downstream threshold clamps."""
+    perturb it by <0.1% — far below the downstream threshold clamps.
+
+    valid_px ([P] int, optional) is the number of REAL pixels per page when
+    heat rows are zero-padded (chunk-count padding in the detection batch):
+    the decile is k = valid_px//10, not a tenth of the padded array — else
+    padding dilutes the threshold toward 0 and the scaling collapses."""
     P, H, W = heat.shape
     hw = H * W
-    k = max(1, hw // 10)
     flat = heat.reshape(P, hw)
+    if valid_px is None:
+        k = jnp.full((P, 1), max(1, hw // 10), jnp.float32)
+    else:
+        k = jnp.maximum(jnp.asarray(valid_px, jnp.float32) // 10.0, 1.0)[:, None]
 
     lo = jnp.zeros((P, 1), jnp.float32)
     hi = jnp.ones((P, 1), jnp.float32)

@@ -418,10 +418,15 @@ class RecognitionPredictor(BasePredictor):
         ):
             frees = free_slots()
             if held is None and pending is not None:
-                held = pending.result()
-                pending = None
-                if held is None:
-                    continue
+                # don't block on an unfinished build while active slots could
+                # be decoding — only wait when there's nothing else to do
+                if pending.done() or not any(
+                    slot_prompt[s] is not None and active[s] for s in range(n_slots)
+                ):
+                    held = pending.result()
+                    pending = None
+                    if held is None:
+                        continue
             if held is not None and len(held[0]) <= len(frees):
                 round_prompts, batch, batch_rows = held
                 held = None
@@ -508,9 +513,9 @@ class RecognitionPredictor(BasePredictor):
 
                 if decode_packed is not None:
                     process_decode(decode_packed)
-            elif held is None and queue and len(frees) / n_slots > self.min_prefill_ratio:
-                # no wave in flight: build one inline (first wave / after a
-                # wave larger than the freed slots was held back)
+            elif held is None and pending is None and queue and len(frees) / n_slots > self.min_prefill_ratio:
+                # no wave in flight or building: build one inline (first wave
+                # / after a wave larger than the freed slots was held back)
                 held = build_wave(min(len(frees), self.prefill_row_buckets[-1]))
             else:
                 # -- decode chunk: K tokens fully on device --

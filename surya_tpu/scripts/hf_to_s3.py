@@ -7,6 +7,7 @@ from __future__ import annotations
 import datetime
 import json
 import shutil
+import tempfile
 from pathlib import Path
 
 import click
@@ -34,26 +35,32 @@ def main(hf_repo_id: str, s3_path: str, bucket_name: str, access_key_id: str, ac
     if suffix:
         s3_path = f"{s3_path}_{suffix}"
 
+    # stage into a temp dir: the snapshot lives inside the shared HF hub
+    # cache (symlinked blobs) — writing the manifest there or deleting it
+    # would corrupt the cache for other consumers
     download_folder = Path(snapshot_download(repo_id=hf_repo_id))
-    contained_files = [f.name for f in download_folder.glob("*")]
-    # the manifest drives the loaders' parallel fetch (common/s3.py)
-    with open(download_folder / "manifest.json", "w") as f:
-        json.dump({"files": contained_files}, f)
+    with tempfile.TemporaryDirectory() as tmp:
+        staging = Path(tmp)
+        for f in download_folder.glob("*"):
+            if f.is_file():
+                shutil.copyfile(f, staging / f.name)
+        contained_files = [f.name for f in staging.glob("*")]
+        # the manifest drives the loaders' parallel fetch (common/s3.py)
+        with open(staging / "manifest.json", "w") as fh:
+            json.dump({"files": contained_files}, fh)
 
-    s3_client = boto3.client(
-        service_name="s3",
-        endpoint_url=S3_API_URL,
-        aws_access_key_id=access_key_id,
-        aws_secret_access_key=access_key_secret,
-        region_name="auto",
-    )
-    for file_path in tqdm(download_folder.glob("*"), desc="Uploading files", unit="file"):
-        try:
-            s3_client.upload_file(str(file_path), bucket_name, f"{s3_path}/{file_path.name}")
-        except Exception as e:
-            print(f"Error uploading {file_path}: {e}")
-
-    shutil.rmtree(download_folder)
+        s3_client = boto3.client(
+            service_name="s3",
+            endpoint_url=S3_API_URL,
+            aws_access_key_id=access_key_id,
+            aws_secret_access_key=access_key_secret,
+            region_name="auto",
+        )
+        for file_path in tqdm(staging.glob("*"), desc="Uploading files", unit="file"):
+            try:
+                s3_client.upload_file(str(file_path), bucket_name, f"{s3_path}/{file_path.name}")
+            except Exception as e:
+                print(f"Error uploading {file_path}: {e}")
     print(f"Uploaded files to {s3_path}")
 
 

@@ -31,7 +31,8 @@ def _bfs_components(mask: np.ndarray):
 def _check(heat: np.ndarray, low: float, max_comps=64):
     import jax.numpy as jnp
 
-    stats, n_comp = cc.component_stats(jnp.asarray(heat[None]), low, max_comps=max_comps)
+    stats, n_comp, n_raw = cc.component_stats(jnp.asarray(heat[None]), low, max_comps=max_comps)
+    assert int(np.asarray(n_raw)[0]) >= int(np.asarray(n_comp)[0])
     stats, n_comp = np.asarray(stats)[0], int(np.asarray(n_comp)[0])
     comps = _bfs_components(heat > low)
     assert n_comp == min(len(comps), max_comps), (n_comp, len(comps))
@@ -80,7 +81,7 @@ def test_batched_pages_are_isolated():
     heat = np.zeros((2, 8, 8), np.float32)
     heat[0, 0:8, 3] = 1.0  # vertical line touching page edge
     heat[1, 0, :] = 1.0    # would merge with page 0's line if axes leaked
-    stats, n = cc.component_stats(jnp.asarray(heat), 0.5, max_comps=8)
+    stats, n, _ = cc.component_stats(jnp.asarray(heat), 0.5, max_comps=8)
     n = np.asarray(n)
     assert n[0] == 1 and n[1] == 1
     s0, s1 = np.asarray(stats)[0, 0], np.asarray(stats)[1, 0]
@@ -93,7 +94,8 @@ def test_overflow_keeps_first_components():
         heat[2, i * 2] = 1.0  # 16 isolated pixels
     import jax.numpy as jnp
 
-    stats, n = cc.component_stats(jnp.asarray(heat[None]), 0.5, max_comps=4)
+    stats, n, n_raw = cc.component_stats(jnp.asarray(heat[None]), 0.5, max_comps=4)
+    assert int(np.asarray(n_raw)[0]) == 16
     assert int(np.asarray(n)[0]) == 4
     np.testing.assert_array_equal(np.asarray(stats)[0, :, cc.MIN_X], [0, 2, 4, 6])
 
@@ -105,3 +107,17 @@ def test_dynamic_threshold_inputs():
     heat[0, 0] = 1.0  # 10 pixels of 1.0 = exactly the top 10%
     top10 = np.asarray(cc.dynamic_threshold_inputs(jnp.asarray(heat)))
     assert abs(top10[0] - 1.0) < 1e-6
+
+
+def test_dynamic_threshold_ignores_padding():
+    """Zero-padded rows (chunk-count padding in batched pages) must not
+    dilute the decile: with valid_px given, a half-padded page produces the
+    same top-10% mean as the unpadded page alone."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    real = rng.uniform(0, 1, (1, 10, 10)).astype(np.float32)
+    padded = np.concatenate([real, np.zeros_like(real)], axis=1)  # [1, 20, 10]
+    t_real = np.asarray(cc.dynamic_threshold_inputs(jnp.asarray(real)))
+    t_pad = np.asarray(cc.dynamic_threshold_inputs(jnp.asarray(padded), np.array([100])))
+    assert abs(t_real[0] - t_pad[0]) < 2e-3, (t_real, t_pad)

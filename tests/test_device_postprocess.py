@@ -25,27 +25,11 @@ def blob_detector():
     """Detection predictor whose heatmap is a perfect line detector driven by
     input darkness (same hook the bench uses) — random weights can't produce
     coherent maps."""
-    import jax
-    import jax.numpy as jnp
-
     from surya_tpu.detection import DetectionPredictor
     from surya_tpu.models import efficientvit
 
     det = DetectionPredictor(tiny=True)
-    head = det.params["head"]["classifier"]
-    if "bias" in head:
-        head["bias"] = jnp.full_like(head["bias"], -6.0)
-    config = det.config
-
-    def apply_heat(params, x):
-        logits = efficientvit._forward_logits(params, config, x)
-        dark = 1.0 - jnp.min(x.astype(jnp.float32), axis=-1)
-        d4 = jax.lax.reduce_window(dark, -jnp.inf, jax.lax.max, (1, 4, 4), (1, 4, 4), "VALID")
-        blob = jax.lax.reduce_window(d4, -jnp.inf, jax.lax.max, (1, 3, 9), (1, 1, 1), "SAME")
-        logits = logits.at[..., 0].add(14.0 * blob)
-        return jax.nn.sigmoid(logits.astype(jnp.float32))
-
-    det._apply_heat = apply_heat
+    efficientvit.install_blob_detector(det)
     return det
 
 

@@ -180,8 +180,9 @@ for p in range(2):
     for i in range(40):
         heat[p, 5 + i*11 : 9 + i*11, 10:200] = 0.9
 heat[1, 100:104, 10:200] = 0.0  # page variation
-stats, n = jax.jit(lambda h: cc.component_stats(h, 0.3, max_comps=512))(jnp.asarray(heat))
+stats, n, n_raw = jax.jit(lambda h: cc.component_stats(h, 0.3, max_comps=512))(jnp.asarray(heat))
 stats, n = np.asarray(stats), np.asarray(n)
+assert (np.asarray(n_raw) == n).all()
 assert n[0] == 40 and n[1] == 39, n
 row = stats[0, 0]
 assert row[cc.AREA] == 4 * 190, row[cc.AREA]
@@ -210,17 +211,7 @@ from surya_tpu.models import efficientvit
 from surya_tpu.settings import settings
 
 det = DetectionPredictor(tiny=True)
-head = det.params["head"]["classifier"]
-if "bias" in head:
-    head["bias"] = jnp.full_like(head["bias"], -6.0)
-config = det.config
-def apply_heat(params, x):
-    logits = efficientvit._forward_logits(params, config, x)
-    dark = 1.0 - jnp.min(x.astype(jnp.float32), axis=-1)
-    d4 = jax.lax.reduce_window(dark, -jnp.inf, jax.lax.max, (1, 4, 4), (1, 4, 4), "VALID")
-    blob = jax.lax.reduce_window(d4, -jnp.inf, jax.lax.max, (1, 3, 9), (1, 1, 1), "SAME")
-    return jax.nn.sigmoid(logits.astype(jnp.float32).at[..., 0].add(14.0 * blob))
-det._apply_heat = apply_heat
+efficientvit.install_blob_detector(det)
 
 img = Image.new("RGB", (1000, 800), "white")
 d = ImageDraw.Draw(img)
