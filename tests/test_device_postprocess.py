@@ -94,3 +94,20 @@ def test_rotated_page(blob_detector):
     assert len(host.bboxes) > 0
     # rotated quads come from the moments estimate: looser IoU
     _compare(host, dev, min_iou=0.6, max_extra=2)
+
+
+def test_component_overflow_reroutes_to_host(blob_detector):
+    """More components than DETECTOR_MAX_COMPONENTS: the batch must fall
+    back to the host path (no silently dropped boxes) without permanently
+    disabling the stats path."""
+    pages = [_page(lines=6)]
+    host = _run(blob_detector, pages, on_device=False)[0]
+    old = settings.DETECTOR_MAX_COMPONENTS
+    settings.DETECTOR_MAX_COMPONENTS = 3  # force overflow
+    try:
+        dev = _run(blob_detector, pages, on_device=True)[0]
+    finally:
+        settings.DETECTOR_MAX_COMPONENTS = old
+    assert not blob_detector._stats_broken
+    assert len(dev.bboxes) == len(host.bboxes) > 3
+    _compare(host, dev, max_extra=0)
