@@ -34,8 +34,11 @@ def _require_pytesseract():
 
 
 def surya_lang_to_tesseract(code: str) -> Optional[str]:
-    """Map a surya language code to tesseract's traineddata code."""
-    lang_str = CODE_TO_LANGUAGE[code]
+    """Map a surya language code to tesseract's traineddata code (None for
+    unknown/unsupported codes — callers skip those rows)."""
+    lang_str = CODE_TO_LANGUAGE.get(code)
+    if lang_str is None:
+        return None
     return TESS_LANGUAGE_TO_CODE.get(lang_str)
 
 

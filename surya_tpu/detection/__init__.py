@@ -219,8 +219,11 @@ class DetectionPredictor(BasePredictor):
                 with stage("detection.prepare"):
                     raw = [np.asarray(part, np.uint8) for part in image_splits]
                     sizes = [r.shape[:2] for r in raw]
-                    Hb = -(-max(s[0] for s in sizes) // 128) * 128
-                    Wb = -(-max(s[1] for s in sizes) // 128) * 128
+                    # coarse 512-px canvas buckets: a mixed-size corpus would
+                    # otherwise compile a fresh forward_resize program per
+                    # batch max-size signature
+                    Hb = -(-max(s[0] for s in sizes) // 512) * 512
+                    Wb = -(-max(s[1] for s in sizes) // 512) * 512
                     pixels = np.zeros((rows, Hb, Wb, 3), np.uint8)
                     for i, r in enumerate(raw):
                         pixels[i, : r.shape[0], : r.shape[1]] = r
@@ -228,12 +231,17 @@ class DetectionPredictor(BasePredictor):
                     n_groups = 1
                     while n_groups < len(uniq):
                         n_groups *= 2
+                    # ship the weight stacks in bf16 (they're cast to the
+                    # compute dtype on device anyway): halves H2D bytes
+                    wdtype = jnp.bfloat16 if settings.DEVICE == "tpu" else np.float32
                     Vs = np.zeros((n_groups, self.processor_size[0], Hb), np.float32)
                     Hs = np.zeros((n_groups, self.processor_size[1], Wb), np.float32)
                     for g, (h_src, w_src) in enumerate(uniq):
                         V, Hm = double_resize_matrices((h_src, w_src), tuple(self.processor_size))
                         Vs[g, :, :h_src] = V
                         Hs[g, :, :w_src] = Hm
+                    Vs = Vs.astype(wdtype) if wdtype is not np.float32 else Vs
+                    Hs = Hs.astype(wdtype) if wdtype is not np.float32 else Hs
                     gid = np.zeros(rows, np.int32)
                     gid[:n_real] = [uniq.index(s) for s in sizes]
             else:

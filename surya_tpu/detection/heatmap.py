@@ -279,6 +279,12 @@ def get_boxes_from_stats_result(page, orig_sizes) -> TextDetectionResult:
 
 
 def parallel_get_lines(preds, orig_sizes, include_maps=False) -> TextDetectionResult:
+    if len(preds) < 2:
+        raise ValueError(
+            "parallel_get_lines needs both heatmap and affinity channels — "
+            "run detection with include_maps=True (the default transfer ships "
+            "only the text channel)"
+        )
     heatmap, affinity_map = preds
     heat_img = aff_img = None
     if include_maps:

@@ -51,6 +51,7 @@ from surya_tpu.recognition.util import (
     chunk_stop_scan,
     clean_close_polygons,
     clean_math_tags,
+    REPEAT_WINDOW,
     detect_repeat_token,
     interleave_shard_slots,
     prediction_to_polygon_batch,
@@ -353,7 +354,7 @@ class RecognitionPredictor(BasePredictor):
             if not act:
                 return
             K = self.decode_chunk
-            W = 40  # detect_repeat_token window (max_repeats)
+            W = REPEAT_WINDOW  # detect_repeat_token window (max_repeats)
             A = len(act)
             ctoks = toks[act, :K]
             prior = np.array([len(predicted_tokens[slot_prompt[s]]) for s in act])

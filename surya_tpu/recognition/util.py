@@ -71,7 +71,12 @@ def interleave_shard_slots(frees: List[int], shard_block: int) -> List[int]:
     return sorted(frees, key=lambda s: (s % shard_block, s // shard_block))
 
 
-def detect_repeat_token(predicted_tokens: List[int], max_repeats: int = 40) -> bool:
+# repeat-detector window (reference :60-70). chunk_stop_scan's tail width,
+# length gate, and scan window all derive from this single constant.
+REPEAT_WINDOW = 40
+
+
+def detect_repeat_token(predicted_tokens: List[int], max_repeats: int = REPEAT_WINDOW) -> bool:
     """True when the tail is a short cycle repeated (reference :60-70)."""
     if len(predicted_tokens) < max_repeats:
         return False

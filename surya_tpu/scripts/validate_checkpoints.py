@@ -65,6 +65,13 @@ def main(results_dir: str, max_rows, only, smoke: bool):
             "(use --smoke for the offline plumbing check)"
         )
 
+    known_gates = {gate for _, _, gate, _ in STAGES}
+    unknown = set(only) - known_gates
+    if unknown:
+        raise click.ClickException(
+            f"unknown gate(s) {sorted(unknown)}; valid: {sorted(known_gates)}"
+        )
+
     os.makedirs(results_dir, exist_ok=True)
     summary = {}
     failed = []
