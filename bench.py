@@ -128,5 +128,30 @@ def main():
     )
 
 
+def _watchdog(seconds=2400):
+    """The tunnel-attached TPU can wedge with hung RPCs (no exception, no
+    progress). Emit a parseable failure line instead of hanging forever."""
+    import signal
+
+    def on_alarm(signum, frame):
+        print(
+            json.dumps(
+                {
+                    "metric": "full_ocr_pages_per_sec",
+                    "value": 0.0,
+                    "unit": "pages/s (detect + recognize, 1 chip)",
+                    "vs_baseline": 0.0,
+                    "detail": {"error": f"bench exceeded {seconds}s (TPU unreachable or wedged)"},
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(seconds)
+
+
 if __name__ == "__main__":
+    _watchdog()
     main()
