@@ -111,3 +111,21 @@ def test_component_overflow_reroutes_to_host(blob_detector):
     assert not blob_detector._stats_broken
     assert len(dev.bboxes) == len(host.bboxes) > 3
     _compare(host, dev, max_extra=0)
+
+
+def test_mixed_chunk_counts_in_one_batch(blob_detector):
+    """A 1-chunk page batched with a 3-chunk page: the padded page-map slots
+    must not dilute the dynamic threshold (regression for the valid_px fix) —
+    both pages must match their host-path boxes."""
+    short = Image.new("RGB", (900, 800), "white")
+    tall = Image.new("RGB", (900, 2000), "white")
+    ds, dt = ImageDraw.Draw(short), ImageDraw.Draw(tall)
+    for y in range(60, 760, 120):
+        ds.rectangle((80, y, 700, y + 16), fill="black")
+    for y in range(60, 1950, 120):
+        dt.rectangle((80, y, 700, y + 16), fill="black")
+    host = _run(blob_detector, [short, tall], on_device=False)
+    dev = _run(blob_detector, [short, tall], on_device=True)
+    for h, d in zip(host, dev):
+        assert len(h.bboxes) > 0
+        _compare(h, d, max_extra=0)
