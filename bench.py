@@ -1,13 +1,19 @@
 """End-of-round benchmark: full detection+recognition OCR pages/sec on one chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "detail"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "detail"} and
+exits 0 — on ANY outcome. A tunnel wedge, backend-init failure, compile error
+or OOM yields a parseable failure line (value 0.0 + detail.error), never a raw
+traceback (BENCH_r02 died exactly that way).
 
 Baseline: reference Surya does 0.62 s/page (1.61 pages/s) for full OCR on an
 A6000 (BASELINE.md). Checkpoints aren't downloadable in this environment, so
 the bench runs the production-size models with random weights and a fixed
 realistic workload shape: 40 text lines per page, 64 decoded tokens per line
 (a typical English line is ~50 chars ≈ 50 UTF-16 tokens; the real model stops
-at EOS, random weights are capped by RECOGNITION_MAX_TOKENS).
+at EOS, random weights are capped by RECOGNITION_MAX_TOKENS). A decode-heavy
+split (224-token budget — the real ocr_with_boxes task budget) is reported in
+detail so decode-bound behavior (cache bandwidth, chunk scheduling) is
+measured, not assumed.
 
 Random weights produce a noise heatmap, which sends CRAFT down a pathological
 path (hundreds of spurious components) no real checkpoint hits. Instead of
@@ -24,6 +30,7 @@ real detect->slice flow — the same work a real checkpoint would cause.
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -34,8 +41,29 @@ os.environ.setdefault("DISABLE_TQDM", "true")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_PAGES = 16
+DECODE_HEAVY_PAGES = 8
+DECODE_HEAVY_TOKENS = 224  # the real ocr_with_boxes budget (tasks table)
 LINES_PER_PAGE = 40
 BASELINE_PAGES_PER_SEC = 1.0 / 0.62  # A6000, README.md:364-367
+
+
+def emit(value, vs_baseline, detail):
+    print(
+        json.dumps(
+            {
+                "metric": "full_ocr_pages_per_sec",
+                "value": round(float(value), 4),
+                "unit": "pages/s (detect + recognize, 1 chip)",
+                "vs_baseline": round(float(vs_baseline), 3),
+                "detail": detail,
+            }
+        ),
+        flush=True,
+    )
+
+
+def emit_failure(msg):
+    emit(0.0, 0.0, {"error": msg})
 
 
 def build_page(width=1240, height=1754):
@@ -57,9 +85,35 @@ def install_synthetic_detector(det):
     efficientvit.install_blob_detector(det)
 
 
+def wait_for_backend(max_wait_s=900, interval_s=45):
+    """Probe backend init in a SUBPROCESS (a failed in-process init can
+    poison jax's backend registry) until the tunnel answers or the budget
+    runs out. The tunnel typically recovers 5-10 min after a wedge."""
+    probe = "import jax; assert len(jax.devices()) > 0"
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True, timeout=240
+            )
+            if r.returncode == 0:
+                return True, attempt
+            err = (r.stderr or b"").decode(errors="replace").strip().splitlines()
+            err = err[-1] if err else "unknown"
+        except subprocess.TimeoutExpired:
+            err = "probe timed out (240s)"
+        if time.time() + interval_s > deadline:
+            return False, attempt
+        print(f"# backend probe {attempt} failed ({err}); retrying in {interval_s}s", file=sys.stderr)
+        time.sleep(interval_s)
+
+
 def main():
     from surya_tpu.detection import DetectionPredictor
     from surya_tpu.recognition import RecognitionPredictor
+    from surya_tpu.settings import settings
 
     pages = [build_page() for _ in range(N_PAGES)]
 
@@ -89,7 +143,7 @@ def main():
     full_s = best_of(lambda: rec(pages, det_predictor=det))
     # split timings + latency are detail; never let them kill the headline
     # (and a failure in one split must not discard the other's measurement)
-    det_s = rec_s = float("inf")
+    det_s = rec_s = heavy_s = float("inf")
     try:
         det_s = best_of(lambda: det(pages))
     except Exception:
@@ -98,6 +152,21 @@ def main():
         rec_s = best_of(lambda: rec(pages, polygons=polys))
     except Exception:
         pass
+
+    # decode-heavy split: the real 224-token task budget instead of the
+    # 64-token cap. Same seq bucket and cache length, so no extra compiles —
+    # only the decode-chunk count changes (~4x more decode per line).
+    try:
+        cap = settings.RECOGNITION_MAX_TOKENS
+        settings.RECOGNITION_MAX_TOKENS = DECODE_HEAVY_TOKENS
+        hv_pages = pages[:DECODE_HEAVY_PAGES]
+        hv_polys = polys[:DECODE_HEAVY_PAGES]
+        rec(hv_pages, polygons=hv_polys)  # warm
+        heavy_s = best_of(lambda: rec(hv_pages, polygons=hv_polys), n=2)
+    except Exception:
+        pass
+    finally:
+        settings.RECOGNITION_MAX_TOKENS = cap
 
     lat = [float("nan")]
     try:
@@ -110,21 +179,16 @@ def main():
         lat = lat or [float("nan")]
 
     pages_per_sec = N_PAGES / full_s
-    print(
-        json.dumps(
-            {
-                "metric": "full_ocr_pages_per_sec",
-                "value": round(pages_per_sec, 4),
-                "unit": "pages/s (detect + recognize, 1 chip)",
-                "vs_baseline": round(pages_per_sec / BASELINE_PAGES_PER_SEC, 3),
-                "detail": {
-                    "detect_only_pages_per_sec": round(N_PAGES / det_s, 4),
-                    "rec_only_pages_per_sec": round(N_PAGES / rec_s, 4),
-                    "p50_page_latency_s": round(statistics.median(lat), 4),
-                    "boxes_per_page": round(boxes_per_page, 1),
-                },
-            }
-        )
+    emit(
+        pages_per_sec,
+        pages_per_sec / BASELINE_PAGES_PER_SEC,
+        {
+            "detect_only_pages_per_sec": round(N_PAGES / det_s, 4),
+            "rec_only_pages_per_sec": round(N_PAGES / rec_s, 4),
+            "decode224_rec_only_pages_per_sec": round(DECODE_HEAVY_PAGES / heavy_s, 4),
+            "p50_page_latency_s": round(statistics.median(lat), 4),
+            "boxes_per_page": round(boxes_per_page, 1),
+        },
     )
 
 
@@ -134,19 +198,8 @@ def _watchdog(seconds=2400):
     import signal
 
     def on_alarm(signum, frame):
-        print(
-            json.dumps(
-                {
-                    "metric": "full_ocr_pages_per_sec",
-                    "value": 0.0,
-                    "unit": "pages/s (detect + recognize, 1 chip)",
-                    "vs_baseline": 0.0,
-                    "detail": {"error": f"bench exceeded {seconds}s (TPU unreachable or wedged)"},
-                }
-            ),
-            flush=True,
-        )
-        os._exit(2)
+        emit_failure(f"bench exceeded {seconds}s (TPU unreachable or wedged)")
+        os._exit(0)
 
     signal.signal(signal.SIGALRM, on_alarm)
     signal.alarm(seconds)
@@ -154,4 +207,14 @@ def _watchdog(seconds=2400):
 
 if __name__ == "__main__":
     _watchdog()
-    main()
+    try:
+        ok, attempts = wait_for_backend()
+        if not ok:
+            emit_failure(f"TPU backend never initialized ({attempts} probes over 15 min)")
+            sys.exit(0)
+        main()
+    except BaseException as e:  # noqa: BLE001 — ANY failure must stay parseable
+        if isinstance(e, SystemExit) and (e.code in (0, None)):
+            raise
+        emit_failure(f"{type(e).__name__}: {e}")
+        sys.exit(0)

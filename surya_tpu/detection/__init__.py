@@ -39,6 +39,9 @@ logger = get_logger()
 class DetectionPredictor(BasePredictor):
     batch_size = settings.DETECTOR_BATCH_SIZE
     default_batch_sizes = {"cpu": 8, "tpu": 36}
+    # batches routed to host CRAFT after an on-device postprocess failure
+    # before the device path is retried
+    STATS_RETRY_AFTER = 8
 
     def __init__(self, checkpoint: Optional[str] = None, tiny: bool = False):
         self._tiny = tiny
@@ -47,7 +50,10 @@ class DetectionPredictor(BasePredictor):
     def _load(self, checkpoint: Optional[str]):
         self.params, self.config = load_detection_model(checkpoint, tiny=self._tiny)
         self.processor_size = self.config.image_size  # (h, w)
-        self._stats_broken = False  # set when the on-device postprocess fails
+        # on-device-postprocess failure backoff: number of upcoming batches
+        # routed to the host path after a failure (a transient backend error
+        # must not downgrade the predictor for the process lifetime)
+        self._stats_skip = 0
         self.setup_mesh()  # dp: pixel batches shard over the data axis
 
         # _apply_heat is the patchable graph tail (benches hook it): float
@@ -256,7 +262,10 @@ class DetectionPredictor(BasePredictor):
             device_stats = settings.DETECTOR_ON_DEVICE_POSTPROCESS
             if device_stats is None:
                 device_stats = settings.DEVICE == "tpu"
-            device_stats = device_stats and not include_maps and not self._stats_broken
+            device_stats = device_stats and not include_maps
+            if device_stats and self._stats_skip > 0:
+                self._stats_skip -= 1  # retry the device path once this drains
+                device_stats = False
 
             if device_stats:
                 # full postprocess reduction on device: the only D2H is a
@@ -304,9 +313,11 @@ class DetectionPredictor(BasePredictor):
                         device_stats = False
                 except Exception as e:  # backend/compile failure: host path still works
                     logger.warning(
-                        "on-device detection postprocess failed (%s); falling back to host CRAFT", e
+                        "on-device detection postprocess failed (%s); host CRAFT for the "
+                        "next %d batches, then retrying the device path",
+                        e, self.STATS_RETRY_AFTER,
                     )
-                    self._stats_broken = True
+                    self._stats_skip = self.STATS_RETRY_AFTER
                     device_stats = False
 
             if device_stats:

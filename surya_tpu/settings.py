@@ -140,15 +140,53 @@ class Settings(BaseModel):
     OCR_ERROR_MODEL_CHECKPOINT: str = "s3://ocr_error_detection/2025_02_18"
     OCR_ERROR_BATCH_SIZE: Optional[int] = None
 
+    # Backend-init resilience: a remote-attached TPU backend can fail its
+    # first handshake transiently (the tunnel recovers on its own). Retry
+    # with backoff before falling back to CPU — the reference never dies on
+    # a device probe either (surya/settings.py:33-52).
+    BACKEND_INIT_RETRIES: int = 3
+    BACKEND_INIT_BACKOFF_S: float = 10.0
+
     @cached_property
     def DEVICE(self) -> str:
-        """Resolved JAX platform: 'tpu' when a TPU backend is live, else 'cpu'."""
+        """Resolved JAX platform: 'tpu' when a TPU backend is live, else 'cpu'.
+
+        Never raises: a backend-init failure (tunnel wedge, RPC timeout) is
+        retried with backoff and, as a last resort, resolved to 'cpu' so the
+        process stays alive (a failed probe killed BENCH_r02)."""
         if self.JAX_DEVICE is not None:
             return self.JAX_DEVICE
+        import time
+
         import jax
 
-        platform = jax.devices()[0].platform
-        return "cpu" if platform == "cpu" else "tpu"
+        last_err = None
+        for attempt in range(max(1, self.BACKEND_INIT_RETRIES)):
+            try:
+                platform = jax.devices()[0].platform
+                return "cpu" if platform == "cpu" else "tpu"
+            except RuntimeError as e:  # "Unable to initialize backend ..."
+                last_err = e
+                try:  # drop the poisoned half-initialized backend registry
+                    from jax.extend.backend import clear_backends
+
+                    clear_backends()
+                except Exception:
+                    pass
+                if attempt + 1 < self.BACKEND_INIT_RETRIES:
+                    time.sleep(self.BACKEND_INIT_BACKOFF_S * (attempt + 1))
+        from surya_tpu.logging import get_logger
+
+        get_logger().warning(
+            "accelerator backend failed to initialize after %d attempts (%s); "
+            "falling back to CPU", self.BACKEND_INIT_RETRIES, last_err,
+        )
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.devices()
+        except Exception:
+            pass
+        return "cpu"
 
     @cached_property
     def MODEL_DTYPE(self) -> "jnp.dtype":  # noqa: F821

@@ -108,7 +108,7 @@ def test_component_overflow_reroutes_to_host(blob_detector):
         dev = _run(blob_detector, pages, on_device=True)[0]
     finally:
         settings.DETECTOR_MAX_COMPONENTS = old
-    assert not blob_detector._stats_broken
+    assert blob_detector._stats_skip == 0
     assert len(dev.bboxes) == len(host.bboxes) > 3
     _compare(host, dev, max_extra=0)
 
@@ -129,3 +129,37 @@ def test_mixed_chunk_counts_in_one_batch(blob_detector):
     for h, d in zip(host, dev):
         assert len(h.bboxes) > 0
         _compare(h, d, max_extra=0)
+
+
+def test_transient_failure_recovers(blob_detector):
+    """An injected one-shot backend failure must route STATS_RETRY_AFTER
+    batches to the host path and then RETRY the device path (VERDICT r2:
+    the old sticky flag downgraded the predictor for the process life)."""
+    page = _page(lines=4)
+    orig = blob_detector._forward_stats
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected transient backend failure")
+        return orig(*args, **kwargs)
+
+    blob_detector._forward_stats = flaky
+    blob_detector.STATS_RETRY_AFTER = 2  # instance override, shadows the class
+    try:
+        r1 = _run(blob_detector, [page], on_device=True)[0]  # fails -> host
+        assert blob_detector._stats_skip == 2
+        assert len(r1.bboxes) > 0  # host fallback still produced boxes
+        _run(blob_detector, [page], on_device=True)
+        _run(blob_detector, [page], on_device=True)
+        assert calls["n"] == 1  # backoff batches never touched the device path
+        assert blob_detector._stats_skip == 0
+        r4 = _run(blob_detector, [page], on_device=True)[0]  # device path again
+        assert calls["n"] == 2
+        assert blob_detector._stats_skip == 0
+        _compare(r1, r4)
+    finally:
+        blob_detector._forward_stats = orig
+        del blob_detector.STATS_RETRY_AFTER
+        blob_detector._stats_skip = 0

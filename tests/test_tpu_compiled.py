@@ -219,7 +219,7 @@ for i in range(8):
     d.rectangle((60, 50 + i * 90, 700, 70 + i * 90), fill="black")
 settings.DETECTOR_ON_DEVICE_POSTPROCESS = True
 dev = det([img])[0]
-assert not det._stats_broken, "stats path fell back"
+assert det._stats_skip == 0, "stats path fell back"
 settings.DETECTOR_ON_DEVICE_POSTPROCESS = False
 host = det([img])[0]
 assert len(dev.bboxes) == len(host.bboxes) == 8, (len(dev.bboxes), len(host.bboxes))
