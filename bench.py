@@ -85,10 +85,12 @@ def install_synthetic_detector(det):
     efficientvit.install_blob_detector(det)
 
 
-def wait_for_backend(max_wait_s=900, interval_s=45):
+def wait_for_backend(max_wait_s=900, interval_s=180):
     """Probe backend init in a SUBPROCESS (a failed in-process init can
     poison jax's backend registry) until the tunnel answers or the budget
-    runs out. The tunnel typically recovers 5-10 min after a wedge."""
+    runs out. A wedged tunnel recovers only while NOTHING touches it — and
+    killing a hung probe is itself a killed-mid-RPC event that can re-wedge
+    the relay — so probes are short (90s) and the idle gaps long (180s)."""
     probe = "import jax; assert len(jax.devices()) > 0"
     deadline = time.time() + max_wait_s
     attempt = 0
@@ -96,14 +98,14 @@ def wait_for_backend(max_wait_s=900, interval_s=45):
         attempt += 1
         try:
             r = subprocess.run(
-                [sys.executable, "-c", probe], capture_output=True, timeout=240
+                [sys.executable, "-c", probe], capture_output=True, timeout=90
             )
             if r.returncode == 0:
                 return True, attempt
             err = (r.stderr or b"").decode(errors="replace").strip().splitlines()
             err = err[-1] if err else "unknown"
         except subprocess.TimeoutExpired:
-            err = "probe timed out (240s)"
+            err = "probe timed out (90s)"
         if time.time() + interval_s > deadline:
             return False, attempt
         print(f"# backend probe {attempt} failed ({err}); retrying in {interval_s}s", file=sys.stderr)

@@ -85,12 +85,12 @@ def embed_prompt_tokens(params, config: FoundationConfig, input_ids, img_gather,
     return jnp.where((img_gather >= 0)[..., None], img.astype(tok.dtype), tok)
 
 
-def encode_images(params, config: FoundationConfig, patches, enc_args, llm_h_idx, llm_w_idx, kv_range: int, win_range: int):
+def encode_images(params, config: FoundationConfig, patches, enc_args, llm_h_idx, llm_w_idx, kv_range: int, win_range: int, mesh=None):
     """Vision encoder + 2-D learned position embeddings → image tokens
     [llm_cap, hidden] in original order. enc_args: EncoderLayout.device_args."""
     img_tokens = qwen_encoder.apply(
         params["vision_encoder"], config.encoder, patches, *enc_args,
-        kv_range=kv_range, win_range=win_range,
+        kv_range=kv_range, win_range=win_range, mesh=mesh,
     )
     enc2d = nn.embedding(params["img_h_embed"], llm_h_idx) + nn.embedding(params["img_w_embed"], llm_w_idx)
     return img_tokens + enc2d
@@ -110,16 +110,20 @@ def prefill(
     slot_idx,
     kv_range: int,
     win_range: int,
+    use_pallas=None,  # None = auto; False forces jnp attention
+    mesh=None,  # shard_map the decoder-prefill flash kernel (multi-chip)
 ):
     """Fused prefill: encode images, build the mixed embedding sequence,
     run the decoder prefill, scatter KV into cache slots, sample token 0.
 
     Returns (new_cache, token [B], score [B], bbox [B, 6])."""
     image_tokens = encode_images(
-        params, config, patches, enc_args, llm_h_idx, llm_w_idx, kv_range, win_range
+        params, config, patches, enc_args, llm_h_idx, llm_w_idx, kv_range, win_range, mesh=mesh
     )
     embeds = embed_prompt_tokens(params, config, input_ids, img_gather, image_tokens)
-    new_k, new_v, last_hidden = qwen_decoder.prefill(params["decoder"], config.decoder, embeds, seq_lens)
+    new_k, new_v, last_hidden = qwen_decoder.prefill(
+        params["decoder"], config.decoder, embeds, seq_lens, use_pallas=use_pallas, mesh=mesh
+    )
     cache = qwen_decoder.merge_prefill(cache, new_k, new_v, seq_lens, slot_idx)
     token, score, bbox = _sample_greedy(params, config, last_hidden)
     return cache, token, score, bbox
@@ -132,7 +136,8 @@ def decode_chunk(
     last_token: jnp.ndarray,  # [B] int32 input token per slot
     active: jnp.ndarray,  # [B] bool — slot is generating
     num_steps: int,
-    use_pallas=None,  # None = auto; False forces the jnp attention path (mesh)
+    use_pallas=None,  # None = auto; False forces the jnp attention path
+    mesh=None,  # shard_map the decode kernel over this mesh (multi-chip)
 ):
     """Run up to num_steps greedy decode steps entirely on device.
 
@@ -172,7 +177,7 @@ def decode_chunk(
         emb = nn.embedding(params["token_embed"], last_token)
         chunk_k, chunk_v, hidden = qwen_decoder.decode_step_chunked(
             params["decoder"], dec, cache, chunk_k, chunk_v, emb, step, base_len,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, mesh=mesh,
         )
         token, score, bbox = _sample_greedy(params, config, hidden)
 

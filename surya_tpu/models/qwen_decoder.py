@@ -137,17 +137,34 @@ def _mlp(p, x):
     return nn.linear(p["down_proj"], jax.nn.silu(nn.linear(p["gate_proj"], x)) * nn.linear(p["up_proj"], x))
 
 
-def prefill(params, config: DecoderConfig, embeds: jnp.ndarray, seq_lens: jnp.ndarray):
+def prefill(params, config: DecoderConfig, embeds: jnp.ndarray, seq_lens: jnp.ndarray, use_pallas=None, mesh=None):
     """Full-sequence causal forward (right-padded).
 
     embeds: [B, L, hidden]; seq_lens: [B] valid lengths.
+    use_pallas: None = auto (settings); False forces the dense jnp path.
+    mesh: shard_map the flash kernel over this mesh (multi-chip).
     Returns (new_k [layers, B, L, kvh, hd], new_v, last_hidden [B, hidden]).
     """
+    if use_pallas is None:
+        from surya_tpu.settings import settings
+
+        use_pallas = settings.USE_PALLAS_ATTENTION and settings.DEVICE != "cpu"
+
     B, L, _ = embeds.shape
     positions = jnp.arange(L)
     cos, sin = _rope_cos_sin(config, positions)
     cos, sin = cos[None, :, None, :], sin[None, :, None, :]
-    causal = att.mask_to_bias(jnp.tril(jnp.ones((L, L), bool)))[None, None]
+    if use_pallas and mesh is not None:
+        from surya_tpu.ops import flash
+
+        attend = lambda q, k, v: flash.causal_flash_attention_shard_map(q, k, v, mesh)  # noqa: E731
+    elif use_pallas:
+        from surya_tpu.ops import flash
+
+        attend = flash.causal_flash_attention  # logits never touch HBM
+    else:
+        causal = att.mask_to_bias(jnp.tril(jnp.ones((L, L), bool)))[None, None]
+        attend = lambda q, k, v: att.sdpa(q, k, v, bias=causal)  # noqa: E731
 
     x = embeds
     ks, vs = [], []
@@ -157,7 +174,7 @@ def prefill(params, config: DecoderConfig, embeds: jnp.ndarray, seq_lens: jnp.nd
         q, k = att.apply_rope(q, k, cos, sin)
         ks.append(k)
         vs.append(v)
-        out = att.sdpa(q, k, v, bias=causal)
+        out = attend(q, k, v)
         x = x + nn.linear(layer["self_attn"]["o_proj"], out.reshape(B, L, -1))
         x = x + _mlp(layer["mlp"], nn.rmsnorm(layer["post_attention_layernorm"], x, eps=config.rms_norm_eps))
 
@@ -198,7 +215,8 @@ def decode_step_chunked(
     embeds: jnp.ndarray,  # [B, hidden]
     step: jnp.ndarray,  # scalar: index within the chunk
     base_len: jnp.ndarray,  # [B] cache length at chunk start (frozen)
-    use_pallas=None,  # None = auto from settings; False forced under a mesh
+    use_pallas=None,  # None = auto from settings; False forces the jnp path
+    mesh=None,  # shard_map the kernel over this mesh (multi-chip)
 ):
     """One decode token with the big cache READ-ONLY.
 
@@ -236,7 +254,7 @@ def decode_step_chunked(
             chunk_k, chunk_v, step, li,
             k_scale=cache["k_scale"] if quantized else None,
             v_scale=cache["v_scale"] if quantized else None,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, mesh=mesh,
         )
         x = x + nn.linear(layer["self_attn"]["o_proj"], out.reshape(B, 1, -1))
         x = x + _mlp(layer["mlp"], nn.rmsnorm(layer["post_attention_layernorm"], x, eps=config.rms_norm_eps))

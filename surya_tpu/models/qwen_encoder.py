@@ -320,7 +320,7 @@ def _qkv(p, x, num_heads, head_dim):
     return out[..., 0, :, :], out[..., 1, :, :], out[..., 2, :, :]
 
 
-def _ranged_attention(p, x, cos, sin, group_id, kv_starts, kv_range: int, config: EncoderConfig, block_k: int):
+def _ranged_attention(p, x, cos, sin, group_id, kv_starts, kv_range: int, config: EncoderConfig, block_k: int, mesh=None):
     """Segmented ranged attention over the flat packed sequence: each fixed
     query chunk attends its host-planned contiguous KV window, masked by
     group id inside the window — O(cap * kv_range) instead of O(cap^2).
@@ -338,9 +338,15 @@ def _ranged_attention(p, x, cos, sin, group_id, kv_starts, kv_range: int, config
     if settings.USE_PALLAS_ATTENTION and settings.DEVICE != "cpu":
         from surya_tpu.ops import flash
 
-        out = flash.segmented_block_attention(
-            q, k, v, group_id, kv_starts, kv_range, block_q=FULL_ATTN_Q_CHUNK, block_k=block_k
-        )
+        if mesh is not None:  # pallas_call can't auto-partition in a sharded jit
+            out = flash.segmented_block_attention_shard_map(
+                q, k, v, group_id, kv_starts, kv_range, mesh,
+                block_q=FULL_ATTN_Q_CHUNK, block_k=block_k,
+            )
+        else:
+            out = flash.segmented_block_attention(
+                q, k, v, group_id, kv_starts, kv_range, block_q=FULL_ATTN_Q_CHUNK, block_k=block_k
+            )
         return nn.linear(p["proj"], out.reshape(cap, config.hidden_size))
 
     q_chunk = min(FULL_ATTN_Q_CHUNK, cap)
@@ -365,7 +371,7 @@ def _ranged_attention(p, x, cos, sin, group_id, kv_starts, kv_range: int, config
     return nn.linear(p["proj"], out)
 
 
-def apply(params, config: EncoderConfig, patches, patch_gather, pos_hw, seg_id, win_id, unscatter, kv_starts, win_starts, kv_range: int, win_range: int):
+def apply(params, config: EncoderConfig, patches, patch_gather, pos_hw, seg_id, win_id, unscatter, kv_starts, win_starts, kv_range: int, win_range: int, mesh=None):
     """Encode a packed batch of image patches.
 
     patches: [cap, patch_dim] raw-order flattened patches (zero padded); the
@@ -381,9 +387,9 @@ def apply(params, config: EncoderConfig, patches, patch_gather, pos_hw, seg_id, 
     for i, block in enumerate(params["blocks"]):
         h = nn.rmsnorm(block["norm1"], x)
         if i in config.fullatt_block_indexes:
-            attn_out = _ranged_attention(block["attn"], h, cos, sin, seg_id, kv_starts, kv_range, config, block_k=512)
+            attn_out = _ranged_attention(block["attn"], h, cos, sin, seg_id, kv_starts, kv_range, config, block_k=512, mesh=mesh)
         else:
-            attn_out = _ranged_attention(block["attn"], h, cos, sin, win_id, win_starts, win_range, config, block_k=128)
+            attn_out = _ranged_attention(block["attn"], h, cos, sin, win_id, win_starts, win_range, config, block_k=128, mesh=mesh)
         x = x + attn_out
         x = x + _mlp(block["mlp"], nn.rmsnorm(block["norm2"], x))
 

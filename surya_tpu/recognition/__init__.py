@@ -129,65 +129,88 @@ class RecognitionPredictor(BasePredictor):
         self.patch_cap = max_cap
         processor = self.processor
 
-        @partial(jax.jit, donate_argnums=(1,), static_argnames=("kv_range", "win_range"))
-        def prefill_fn(params, cache, patches, enc_args, llm_h_idx, llm_w_idx,
-                       input_ids, img_gather, seq_lens, slot_idx, kv_range, win_range):
-            patches = processor.normalize_patch_rows(patches, settings.MODEL_DTYPE)
-            cache, tok, score, bbox = foundation.prefill(
-                params, cfg, cache, patches, enc_args, llm_h_idx, llm_w_idx,
-                input_ids, img_gather, seq_lens, slot_idx,
-                kv_range=kv_range, win_range=win_range,
-            )
-            # pack outputs into ONE array: each device_get leaf costs a full
-            # tunnel round trip
-            packed = jnp.concatenate(
-                [tok.astype(jnp.float32)[:, None], score[:, None], bbox.astype(jnp.float32)], axis=-1
-            )
-            return cache, packed
-
         def _pack(toks, scores, bboxes):
             return jnp.concatenate(
                 [toks.astype(jnp.float32)[..., None], scores[..., None], bboxes.astype(jnp.float32)],
                 axis=-1,
             )
 
-        # pallas_call does not auto-partition under a sharded mesh — force the
-        # jnp attention path there; single-device uses the fused decode kernel
-        use_pallas = None if self.mesh is None else False
-
-        @partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(1,))
-        def decode_fn(params, cache, last_token, active, num_steps):
-            cache, toks, scores, bboxes, _, _ = foundation.decode_chunk(
-                params, cfg, cache, last_token, active, num_steps, use_pallas=use_pallas
-            )
-            return cache, _pack(toks, scores, bboxes)
+        # under a mesh every Pallas kernel runs inside shard_map (slots/rows
+        # shard over data, decoder heads over model when TP is on) — the jnp
+        # fallback is no longer forced when scaling out (VERDICT r2 #3);
+        # use_pallas stays auto (settings + device)
+        use_pallas = None
+        mesh = self.mesh
 
         nop_id = self.processor.no_output_token
 
-        @partial(jax.jit, donate_argnums=(1,), static_argnames=("kv_range", "win_range", "num_steps"))
-        def prefill_decode_fn(params, cache, patches, enc_args, llm_h_idx, llm_w_idx,
-                              input_ids, img_gather, seq_lens, slot_idx, row_valid,
-                              last_token, active, kv_range, win_range, num_steps):
-            """Fused prefill + decode chunk: saves one dispatch per refill
-            round when the scheduler knows decode comes next."""
-            patches = processor.normalize_patch_rows(patches, settings.MODEL_DTYPE)
-            cache, tok, score, bbox = foundation.prefill(
-                params, cfg, cache, patches, enc_args, llm_h_idx, llm_w_idx,
-                input_ids, img_gather, seq_lens, slot_idx,
-                kv_range=kv_range, win_range=win_range,
-            )
-            prefill_packed = jnp.concatenate(
-                [tok.astype(jnp.float32)[:, None], score[:, None], bbox.astype(jnp.float32)], axis=-1
-            )
-            # seed the new slots (mirrors the host's prefill bookkeeping)
+        def _seed_slots(last_token, active, tok, slot_idx, row_valid):
+            """Device-side mirror of the host's prefill bookkeeping: seed the
+            newly filled slots' scheduler state from prefill token 0."""
             done0 = (tok == cfg.eos_token_id) | (tok == nop_id)
             lt_new = jnp.where((tok == cfg.eos_token_id) | (tok == cfg.pad_token_id), cfg.pad_token_id, tok)
             last_token = last_token.at[slot_idx].set(jnp.where(row_valid, lt_new, last_token[slot_idx]))
             active = active.at[slot_idx].set(jnp.where(row_valid, ~done0, active[slot_idx]))
-            cache, toks, scores, bboxes, _, _ = foundation.decode_chunk(
-                params, cfg, cache, last_token, active, num_steps, use_pallas=use_pallas
+            return last_token, active
+
+        def _apply_kill(last_token, active, kill):
+            """Host stop-scan corrections land one dispatch late (budget/
+            repeat stops the device can't see): deactivate killed slots before
+            running this dispatch."""
+            return jnp.where(kill, cfg.pad_token_id, last_token), active & ~kill
+
+        # scheduler state (last_token/active) lives ON DEVICE and is threaded
+        # through every dispatch, so chunk N+1 can launch before chunk N's
+        # packed outputs are fetched — the fetch (a full tunnel round trip)
+        # overlaps device compute instead of serializing the decode loop
+        @partial(jax.jit, donate_argnums=(1, 11, 12), static_argnames=("kv_range", "win_range"))
+        def prefill_fn(params, cache, patches, enc_args, llm_h_idx, llm_w_idx,
+                       input_ids, img_gather, seq_lens, slot_idx, row_valid,
+                       last_token, active, kill, kv_range, win_range):
+            last_token, active = _apply_kill(last_token, active, kill)
+            patches = processor.normalize_patch_rows(patches, settings.MODEL_DTYPE)
+            cache, tok, score, bbox = foundation.prefill(
+                params, cfg, cache, patches, enc_args, llm_h_idx, llm_w_idx,
+                input_ids, img_gather, seq_lens, slot_idx,
+                kv_range=kv_range, win_range=win_range, use_pallas=use_pallas, mesh=mesh,
             )
-            return cache, prefill_packed, _pack(toks, scores, bboxes)
+            # pack outputs into ONE array: each device_get leaf costs a full
+            # tunnel round trip
+            packed = jnp.concatenate(
+                [tok.astype(jnp.float32)[:, None], score[:, None], bbox.astype(jnp.float32)], axis=-1
+            )
+            last_token, active = _seed_slots(last_token, active, tok, slot_idx, row_valid)
+            return cache, packed, last_token, active
+
+        @partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(1, 2, 3))
+        def decode_fn(params, cache, last_token, active, kill, num_steps):
+            last_token, active = _apply_kill(last_token, active, kill)
+            cache, toks, scores, bboxes, last_token, active = foundation.decode_chunk(
+                params, cfg, cache, last_token, active, num_steps, use_pallas=use_pallas, mesh=mesh
+            )
+            return cache, _pack(toks, scores, bboxes), last_token, active
+
+        @partial(jax.jit, donate_argnums=(1, 11, 12), static_argnames=("kv_range", "win_range", "num_steps"))
+        def prefill_decode_fn(params, cache, patches, enc_args, llm_h_idx, llm_w_idx,
+                              input_ids, img_gather, seq_lens, slot_idx, row_valid,
+                              last_token, active, kill, kv_range, win_range, num_steps):
+            """Fused prefill + decode chunk: saves one dispatch per refill
+            round when the scheduler knows decode comes next."""
+            last_token, active = _apply_kill(last_token, active, kill)
+            patches = processor.normalize_patch_rows(patches, settings.MODEL_DTYPE)
+            cache, tok, score, bbox = foundation.prefill(
+                params, cfg, cache, patches, enc_args, llm_h_idx, llm_w_idx,
+                input_ids, img_gather, seq_lens, slot_idx,
+                kv_range=kv_range, win_range=win_range, use_pallas=use_pallas, mesh=mesh,
+            )
+            prefill_packed = jnp.concatenate(
+                [tok.astype(jnp.float32)[:, None], score[:, None], bbox.astype(jnp.float32)], axis=-1
+            )
+            last_token, active = _seed_slots(last_token, active, tok, slot_idx, row_valid)
+            cache, toks, scores, bboxes, last_token, active = foundation.decode_chunk(
+                params, cfg, cache, last_token, active, num_steps, use_pallas=use_pallas, mesh=mesh
+            )
+            return cache, prefill_packed, _pack(toks, scores, bboxes), last_token, active
 
         self._prefill_fn = prefill_fn
         self._decode_fn = decode_fn
@@ -325,8 +348,24 @@ class RecognitionPredictor(BasePredictor):
             shardings = meshlib.cache_sharding(self.mesh)
             cache = {k: jax.device_put(v, shardings[k]) for k, v in cache.items()}
         slot_prompt: List[Optional[int]] = [None] * n_slots
-        last_token = np.full(n_slots + 1, pad, np.int32)
-        active = np.zeros(n_slots + 1, bool)
+        # scheduler state: authoritative copy ON DEVICE (threaded through
+        # every dispatch), shadow on host for scheduling decisions, and a
+        # pending-kill mask for host-detected stops (budget/repeat) that the
+        # device learns about one dispatch late
+        if self.mesh is not None:
+            from surya_tpu.parallel import mesh as meshlib
+
+            row_shard = meshlib.batch_sharding(self.mesh)
+        else:
+            row_shard = None
+
+        def _to_dev(arr):
+            return jax.device_put(arr, row_shard) if row_shard is not None else jax.device_put(arr)
+
+        lt_dev = _to_dev(np.full(n_slots + 1, pad, np.int32))
+        act_dev = _to_dev(np.zeros(n_slots + 1, bool))
+        host_active = np.zeros(n_slots + 1, bool)
+        pending_kill = np.zeros(n_slots + 1, bool)
 
         pbar = tqdm(total=n, desc="Recognizing Text", disable=self.disable_tqdm)
 
@@ -338,10 +377,15 @@ class RecognitionPredictor(BasePredictor):
             frees = [i for i, p in enumerate(slot_prompt) if p is None]
             return interleave_shard_slots(frees, shard_block) if shard_block else frees
 
-        def finish(slot):
+        def finish(slot, device_knows: bool):
+            """Free a slot. device_knows: the device's own active tracking
+            already stopped this slot (it emitted EOS/pad); otherwise the stop
+            is host-only (budget/repeat) and must be sent down as a kill mask
+            with the next dispatch."""
             slot_prompt[slot] = None
-            active[slot] = False
-            last_token[slot] = pad
+            host_active[slot] = False
+            if not device_knows:
+                pending_kill[slot] = True
             pbar.update(1)
 
         def process_decode(packed):
@@ -350,7 +394,7 @@ class RecognitionPredictor(BasePredictor):
             toks = packed[..., 0].astype(np.int32)
             chunk_scores = packed[..., 1]
             chunk_bboxes = packed[..., 2:]
-            act = [s for s in range(n_slots) if slot_prompt[s] is not None and active[s]]
+            act = [s for s in range(n_slots) if slot_prompt[s] is not None and host_active[s]]
             if not act:
                 return
             K = self.decode_chunk
@@ -372,9 +416,9 @@ class RecognitionPredictor(BasePredictor):
                 scores[pid].extend(chunk_scores[s, :k].tolist())
                 bboxes[pid].append(chunk_bboxes[s, :k])
                 if any_stop[i]:
-                    finish(s)
-                else:
-                    last_token[s] = int(ctoks[i, K - 1])
+                    # EOS/pad at the cut -> the device's own tracking stopped
+                    # the slot; budget/repeat stops need an explicit kill
+                    finish(s, device_knows=int(ctoks[i, int(cut[i])]) in (eos, pad))
 
         def build_wave(slot_budget: int):
             """Pop prompts from the queue under slot + patch budgets and pack
@@ -410,25 +454,76 @@ class RecognitionPredictor(BasePredictor):
                 )
             return round_prompts, batch, batch_rows
 
+        def seed_from_prefill(packed, target_slots, round_prompts):
+            """Host bookkeeping for prefill token 0 (reference prefill
+            done-check :571-576). slot_prompt/host_active were already set
+            optimistically at dispatch time."""
+            tok0 = packed[:, 0].astype(np.int32)
+            score0 = packed[:, 1]
+            bbox0 = packed[:, 2:]
+            for row, (slot, prompt) in enumerate(zip(target_slots, round_prompts)):
+                pid = prompt.id
+                t = int(tok0[row])
+                predicted_tokens[pid].append(t)
+                scores[pid].append(0.0 if t in (eos, pad) else float(score0[row]))
+                bboxes[pid].append(bbox0[row : row + 1])
+                if t in (eos, nop):
+                    finish(slot, device_knows=True)
+
+        # ONE dispatch stays in flight: its packed outputs are fetched only
+        # after the NEXT dispatch has been queued, so the D2H round trip
+        # (the dominant per-chunk cost on a remote-attached TPU) overlaps
+        # device compute instead of serializing the loop
+        inflight = None
+
+        def drain_inflight():
+            nonlocal inflight
+            if inflight is None:
+                return
+            kind = inflight[0]
+            if kind == "decode":
+                packed = np.asarray(inflight[1])
+                inflight = None
+                process_decode(packed)
+            else:
+                _, ppacked, dpacked, target_slots, round_prompts = inflight
+                inflight = None
+                if dpacked is not None:
+                    ppacked, dpacked = jax.device_get((ppacked, dpacked))
+                seed_from_prefill(np.asarray(ppacked), target_slots, round_prompts)
+                if dpacked is not None:
+                    process_decode(np.asarray(dpacked))
+
+        def take_kill():
+            kill = _to_dev(pending_kill.copy())
+            pending_kill[:] = False
+            return kill
+
         builder = ThreadPoolExecutor(max_workers=1)
         pending = None  # speculative build future for the next wave
         held = None  # built wave waiting for enough free slots
 
-        while queue or held is not None or pending is not None or any(
-            p is not None for p in slot_prompt
+        while (
+            queue or held is not None or pending is not None or inflight is not None
+            or any(p is not None for p in slot_prompt)
         ):
             frees = free_slots()
             if held is None and pending is not None:
                 # don't block on an unfinished build while active slots could
                 # be decoding — only wait when there's nothing else to do
                 if pending.done() or not any(
-                    slot_prompt[s] is not None and active[s] for s in range(n_slots)
+                    slot_prompt[s] is not None and host_active[s] for s in range(n_slots)
                 ):
                     held = pending.result()
                     pending = None
                     if held is None:
                         continue
             if held is not None and len(held[0]) <= len(frees):
+                # the previous dispatch's outputs must land before new slots
+                # are assigned (its stop events free slots and must not be
+                # attributed to the wave's new occupants)
+                drain_inflight()
+                frees = free_slots()
                 round_prompts, batch, batch_rows = held
                 held = None
                 slot_idx = np.full(batch_rows, n_slots, np.int32)  # trash slot
@@ -448,38 +543,35 @@ class RecognitionPredictor(BasePredictor):
                     # separate jnp.asarray costs a full tunnel round trip);
                     # on a mesh, prefill rows shard over the data axis and
                     # the packed image arrays replicate
+                    row_valid = np.zeros(batch_rows, bool)
+                    row_valid[: len(round_prompts)] = True
                     bundle = (
                         batch.patches, layout.device_args, layout.llm_h_idx,
                         layout.llm_w_idx, batch.input_ids, batch.img_gather,
-                        batch.seq_lens, slot_idx,
+                        batch.seq_lens, slot_idx, row_valid, pending_kill.copy(),
                     )
+                    pending_kill[:] = False
                     if self.mesh is not None:
                         from surya_tpu.parallel import mesh as meshlib
 
                         rep = meshlib.replicated(self.mesh)
                         row = meshlib.batch_sharding(self.mesh)
-                        shard = (rep, tuple(rep for _ in layout.device_args), rep, rep, row, row, row, row)
+                        shard = (rep, tuple(rep for _ in layout.device_args), rep, rep, row, row, row, row, row, row)
                         args = jax.device_put(bundle, shard)
                     else:
                         args = jax.device_put(bundle)
+                    *args, kill = args
 
                     decode_packed = None
                     if fuse:
-                        row_valid = np.zeros(batch_rows, bool)
-                        row_valid[: len(round_prompts)] = True
-                        extra = (row_valid, last_token, active)
-                        if self.mesh is not None:
-                            extra = jax.device_put(extra, (row, meshlib.batch_sharding(self.mesh), meshlib.batch_sharding(self.mesh)))
-                        else:
-                            extra = jax.device_put(extra)
-                        cache, packed, decode_packed = self._prefill_decode_fn(
-                            self.params, cache, *args, *extra,
+                        cache, packed, decode_packed, lt_dev, act_dev = self._prefill_decode_fn(
+                            self.params, cache, *args, lt_dev, act_dev, kill,
                             kv_range=layout.kv_range, win_range=layout.win_range,
                             num_steps=self.decode_chunk,
                         )
                     else:
-                        cache, packed = self._prefill_fn(
-                            self.params, cache, *args,
+                        cache, packed, lt_dev, act_dev = self._prefill_fn(
+                            self.params, cache, *args, lt_dev, act_dev, kill,
                             kv_range=layout.kv_range, win_range=layout.win_range,
                         )
                     # dispatch is in flight: build the NEXT wave on the host
@@ -489,50 +581,28 @@ class RecognitionPredictor(BasePredictor):
                         pending = builder.submit(
                             build_wave, min(max(len(round_prompts), 1), self.prefill_row_buckets[-1])
                         )
-                    if decode_packed is not None:
-                        packed, decode_packed = jax.device_get((packed, decode_packed))
-                        packed = np.asarray(packed)
-                        decode_packed = np.asarray(decode_packed)
-                    else:
-                        packed = np.asarray(packed)
-                    tok0 = packed[:, 0].astype(np.int32)
-                    score0 = packed[:, 1]
-                    bbox0 = packed[:, 2:]
-
-                for row, (slot, prompt) in enumerate(zip(target_slots, round_prompts)):
-                    pid = prompt.id
-                    slot_prompt[slot] = pid
-                    t = int(tok0[row])
-                    predicted_tokens[pid].append(t)
-                    scores[pid].append(0.0 if t in (eos, pad) else float(score0[row]))
-                    bboxes[pid].append(bbox0[row : row + 1])
-                    if t in (eos, nop):  # reference prefill done-check :571-576
-                        finish(slot)
-                    else:
-                        last_token[slot] = pad if t in (eos, pad) else t
-                        active[slot] = True
-
-                if decode_packed is not None:
-                    process_decode(decode_packed)
+                    # occupy the slots now (scheduling view); token-0 host
+                    # bookkeeping happens when this dispatch is drained
+                    for slot, prompt in zip(target_slots, round_prompts):
+                        slot_prompt[slot] = prompt.id
+                        host_active[slot] = True
+                    inflight = ("prefill", packed, decode_packed, target_slots, round_prompts)
             elif held is None and pending is None and queue and len(frees) / n_slots > self.min_prefill_ratio:
                 # no wave in flight or building: build one inline (first wave
                 # / after a wave larger than the freed slots was held back)
                 held = build_wave(min(len(frees), self.prefill_row_buckets[-1]))
-            else:
-                # -- decode chunk: K tokens fully on device --
+            elif any(slot_prompt[s] is not None and host_active[s] for s in range(n_slots)):
+                # -- decode chunk: K tokens fully on device; dispatch chunk
+                # N+1 BEFORE fetching chunk N's outputs --
                 with stage("recognition.decode"):
-                    if self.mesh is not None:
-                        from surya_tpu.parallel import mesh as meshlib
-
-                        row = meshlib.batch_sharding(self.mesh)
-                        inputs = jax.device_put((last_token, active), (row, row))
-                    else:
-                        inputs = jax.device_put((last_token, active))
-                    cache, packed = self._decode_fn(
-                        self.params, cache, *inputs, num_steps=self.decode_chunk
+                    cache, packed, lt_dev, act_dev = self._decode_fn(
+                        self.params, cache, lt_dev, act_dev, take_kill(),
+                        num_steps=self.decode_chunk,
                     )
-                    packed = np.asarray(packed)
-                process_decode(packed)
+                drain_inflight()
+                inflight = ("decode", packed)
+            else:
+                drain_inflight()
 
         builder.shutdown(wait=True)
         pbar.close()

@@ -54,3 +54,61 @@ def test_segmented_block_attention(ranged):
     )
     expected = _dense_segmented(q, k, v, seg)
     assert np.abs(out - expected).max() < 1e-5
+
+
+@pytest.mark.parametrize("L,gqa", [(256, True), (384, False)])
+def test_causal_flash_attention(L, gqa):
+    """Causal prefill kernel (interpret) vs the dense sdpa path, incl. GQA
+    and a non-power-of-two length (block shrink)."""
+    import jax.numpy as jnp
+
+    from surya_tpu.ops import attention as att
+    from surya_tpu.ops import flash
+
+    rng = np.random.default_rng(1)
+    B, H, D = 2, 4, 64
+    kvh = 2 if gqa else H
+    q = rng.standard_normal((B, L, H, D), dtype=np.float32) * 0.3
+    k = rng.standard_normal((B, L, kvh, D), dtype=np.float32) * 0.3
+    v = rng.standard_normal((B, L, kvh, D), dtype=np.float32) * 0.3
+
+    out = np.asarray(
+        flash.causal_flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), interpret=True)
+    )
+    causal = att.mask_to_bias(jnp.tril(jnp.ones((L, L), bool)))[None, None]
+    expected = np.asarray(att.sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), bias=causal))
+    assert np.abs(out - expected).max() < 1e-5
+
+
+def test_prefill_pallas_matches_dense():
+    """qwen_decoder.prefill with the flash kernel (interpret via monkeypatch)
+    matches the dense path on a tiny config."""
+    import jax.numpy as jnp
+
+    from surya_tpu.models import qwen_decoder
+    from surya_tpu.ops import flash
+
+    cfg = qwen_decoder.DecoderConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    )
+    import jax
+
+    params = qwen_decoder.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    embeds = jnp.asarray(rng.standard_normal((2, 128, 64), dtype=np.float32) * 0.1)
+    seq_lens = jnp.asarray([100, 128], jnp.int32)
+
+    k_dense, v_dense, h_dense = qwen_decoder.prefill(params, cfg, embeds, seq_lens, use_pallas=False)
+
+    orig = flash.causal_flash_attention
+    import functools
+
+    flash.causal_flash_attention = functools.partial(orig, interpret=True)
+    try:
+        k_fl, v_fl, h_fl = qwen_decoder.prefill(params, cfg, embeds, seq_lens, use_pallas=True)
+    finally:
+        flash.causal_flash_attention = orig
+
+    assert np.abs(np.asarray(h_fl) - np.asarray(h_dense)).max() < 1e-4
+    assert np.abs(np.asarray(k_fl) - np.asarray(k_dense)).max() < 1e-5
