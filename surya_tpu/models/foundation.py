@@ -96,6 +96,46 @@ def encode_images(params, config: FoundationConfig, patches, enc_args, llm_h_idx
     return img_tokens + enc2d
 
 
+def _sharded_encode_embed(
+    params, config: FoundationConfig, patches, enc_args, llm_h_idx, llm_w_idx,
+    input_ids, img_gather, kv_range: int, win_range: int, mesh,
+):
+    """Data-sharded encoder prefill: patches/layout arrays carry a leading
+    [n_shards] axis (one packed plan per data shard, processor
+    build_prefill_batch n_shards>1) and prompt rows occupy group-contiguous
+    blocks, so each shard encodes ONLY its own rows' images and the <IMAGE>
+    gather is shard-local — no collectives, and encoder FLOPs scale with the
+    data axis instead of replicating. Returns embeds [B, L, hidden] sharded
+    over rows."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from surya_tpu.parallel import mesh as meshlib
+
+    d = P(meshlib.DATA_AXIS)
+    sub = {
+        "vision_encoder": params["vision_encoder"],
+        "img_h_embed": params["img_h_embed"],
+        "img_w_embed": params["img_w_embed"],
+        "token_embed": params["token_embed"],
+    }
+
+    def local(sub, patches, enc_args, h_idx, w_idx, ids, gather):
+        # leading shard axis is 1 inside the shard; mesh=None -> the plain
+        # (non-shard_map) kernel dispatch, we're already per-device here
+        img_tokens = encode_images(
+            sub, config, patches[0], tuple(a[0] for a in enc_args),
+            h_idx[0], w_idx[0], kv_range, win_range, mesh=None,
+        )
+        return embed_prompt_tokens(sub, config, ids, gather, img_tokens)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), d, tuple(d for _ in enc_args), d, d, d, d),
+        out_specs=d, check_vma=False,
+    )(sub, patches, enc_args, llm_h_idx, llm_w_idx, input_ids, img_gather)
+
+
 def prefill(
     params,
     config: FoundationConfig,
@@ -111,16 +151,25 @@ def prefill(
     kv_range: int,
     win_range: int,
     use_pallas=None,  # None = auto; False forces jnp attention
-    mesh=None,  # shard_map the decoder-prefill flash kernel (multi-chip)
+    mesh=None,  # shard_map the kernels / data-sharded encoder (multi-chip)
 ):
     """Fused prefill: encode images, build the mixed embedding sequence,
     run the decoder prefill, scatter KV into cache slots, sample token 0.
 
+    patches with a leading shard axis ([n_shards, cap, patch_dim]) select the
+    data-sharded encoder path (requires mesh).
     Returns (new_cache, token [B], score [B], bbox [B, 6])."""
-    image_tokens = encode_images(
-        params, config, patches, enc_args, llm_h_idx, llm_w_idx, kv_range, win_range, mesh=mesh
-    )
-    embeds = embed_prompt_tokens(params, config, input_ids, img_gather, image_tokens)
+    if patches.ndim == 3:
+        assert mesh is not None, "sharded patches need a mesh"
+        embeds = _sharded_encode_embed(
+            params, config, patches, enc_args, llm_h_idx, llm_w_idx,
+            input_ids, img_gather, kv_range, win_range, mesh,
+        )
+    else:
+        image_tokens = encode_images(
+            params, config, patches, enc_args, llm_h_idx, llm_w_idx, kv_range, win_range, mesh=mesh
+        )
+        embeds = embed_prompt_tokens(params, config, input_ids, img_gather, image_tokens)
     new_k, new_v, last_hidden = qwen_decoder.prefill(
         params["decoder"], config.decoder, embeds, seq_lens, use_pallas=use_pallas, mesh=mesh
     )

@@ -113,6 +113,47 @@ class EncoderLayout:
         )
 
 
+def plan_layout_sharded(
+    shard_grids: "List[List[Tuple[int, int]]]",
+    config: "EncoderConfig",
+    cap: int,
+    embed_encoding_multiplier: int = 256,
+) -> EncoderLayout:
+    """Stack one plan per data shard into a single EncoderLayout whose arrays
+    carry a leading [n_shards] axis (sharded over the mesh's data axis by the
+    caller). The static attention ranges are aligned to the max across shards
+    so every shard runs the same compiled program; each shard's starts are
+    re-clamped to its own capacity. This is what lets the vision encoder's
+    prefill FLOPs scale with chips instead of replicating (multi-chip
+    prefill: each shard encodes only its own rows' images)."""
+    plans = [plan_layout(g, config, cap, embed_encoding_multiplier) for g in shard_grids]
+    kv_range = max(p.kv_range for p in plans)
+    win_range = max(p.win_range for p in plans)
+    kv_range = min(cap, kv_range)
+    win_range = min(cap, win_range)
+
+    def stack(field):
+        return np.stack([getattr(p, field) for p in plans])
+
+    return EncoderLayout(
+        cap=cap,
+        n_patches=sum(p.n_patches for p in plans),
+        n_llm_tokens=sum(p.n_llm_tokens for p in plans),
+        patch_gather=stack("patch_gather"),
+        pos_hw=stack("pos_hw"),
+        seg_id=stack("seg_id"),
+        win_id=stack("win_id"),
+        unscatter=stack("unscatter"),
+        llm_h_idx=stack("llm_h_idx"),
+        llm_w_idx=stack("llm_w_idx"),
+        tokens_per_image=[t for p in plans for t in p.tokens_per_image],
+        kv_starts=np.stack([np.minimum(p.kv_starts, cap - kv_range) for p in plans]),
+        kv_range=kv_range,
+        win_starts=np.stack([np.minimum(p.win_starts, cap - win_range) for p in plans]),
+        win_range=win_range,
+    )
+
+
 def _chunk_ranges(group_id: np.ndarray, cap: int, chunk: int, align: int):
     """For each `chunk`-slot query block, the contiguous KV window covering
     every group (image or window) it touches. Groups are contiguous runs of

@@ -451,17 +451,20 @@ class RecognitionPredictor(BasePredictor):
                     batch_rows=batch_rows,
                     seq_buckets=self.seq_buckets,
                     patch_caps=self.patch_caps,
+                    # data-sharded encoder: one packed plan per data shard
+                    n_shards=self.n_data if self.n_data > 1 else 1,
                 )
             return round_prompts, batch, batch_rows
 
-        def seed_from_prefill(packed, target_slots, round_prompts):
+        def seed_from_prefill(packed, target_slots, round_prompts, valid_rows):
             """Host bookkeeping for prefill token 0 (reference prefill
             done-check :571-576). slot_prompt/host_active were already set
-            optimistically at dispatch time."""
+            optimistically at dispatch time. Prompt i's outputs sit at row
+            valid_rows[i] (group-contiguous under the data-sharded encoder)."""
             tok0 = packed[:, 0].astype(np.int32)
             score0 = packed[:, 1]
             bbox0 = packed[:, 2:]
-            for row, (slot, prompt) in enumerate(zip(target_slots, round_prompts)):
+            for (slot, prompt, row) in zip(target_slots, round_prompts, valid_rows):
                 pid = prompt.id
                 t = int(tok0[row])
                 predicted_tokens[pid].append(t)
@@ -486,11 +489,11 @@ class RecognitionPredictor(BasePredictor):
                 inflight = None
                 process_decode(packed)
             else:
-                _, ppacked, dpacked, target_slots, round_prompts = inflight
+                _, ppacked, dpacked, target_slots, round_prompts, valid_rows = inflight
                 inflight = None
                 if dpacked is not None:
                     ppacked, dpacked = jax.device_get((ppacked, dpacked))
-                seed_from_prefill(np.asarray(ppacked), target_slots, round_prompts)
+                seed_from_prefill(np.asarray(ppacked), target_slots, round_prompts, valid_rows)
                 if dpacked is not None:
                     process_decode(np.asarray(dpacked))
 
@@ -528,7 +531,10 @@ class RecognitionPredictor(BasePredictor):
                 held = None
                 slot_idx = np.full(batch_rows, n_slots, np.int32)  # trash slot
                 target_slots = frees[: len(round_prompts)]
-                slot_idx[: len(round_prompts)] = target_slots
+                # prompt i sits at row valid_rows[i] (group-contiguous rows
+                # when the encoder is data-sharded; identity otherwise)
+                valid_rows = batch.valid_rows
+                slot_idx[valid_rows] = target_slots
 
                 # fuse the following decode chunk into this dispatch when no
                 # further prefill can come next (dispatch overhead is large
@@ -544,7 +550,7 @@ class RecognitionPredictor(BasePredictor):
                     # on a mesh, prefill rows shard over the data axis and
                     # the packed image arrays replicate
                     row_valid = np.zeros(batch_rows, bool)
-                    row_valid[: len(round_prompts)] = True
+                    row_valid[valid_rows] = True
                     bundle = (
                         batch.patches, layout.device_args, layout.llm_h_idx,
                         layout.llm_w_idx, batch.input_ids, batch.img_gather,
@@ -556,7 +562,11 @@ class RecognitionPredictor(BasePredictor):
 
                         rep = meshlib.replicated(self.mesh)
                         row = meshlib.batch_sharding(self.mesh)
-                        shard = (rep, tuple(rep for _ in layout.device_args), rep, rep, row, row, row, row, row, row)
+                        # data-sharded encoder: the stacked patch/layout
+                        # arrays shard their leading [n_shards] axis over
+                        # data; pure-TP meshes keep them replicated
+                        img = row if batch.patches.ndim == 3 else rep
+                        shard = (img, tuple(img for _ in layout.device_args), img, img, row, row, row, row, row, row)
                         args = jax.device_put(bundle, shard)
                     else:
                         args = jax.device_put(bundle)
@@ -586,7 +596,7 @@ class RecognitionPredictor(BasePredictor):
                     for slot, prompt in zip(target_slots, round_prompts):
                         slot_prompt[slot] = prompt.id
                         host_active[slot] = True
-                    inflight = ("prefill", packed, decode_packed, target_slots, round_prompts)
+                    inflight = ("prefill", packed, decode_packed, target_slots, round_prompts, valid_rows)
             elif held is None and pending is None and queue and len(frees) / n_slots > self.min_prefill_ratio:
                 # no wave in flight or building: build one inline (first wave
                 # / after a wave larger than the freed slots was held back)

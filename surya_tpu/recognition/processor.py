@@ -41,7 +41,11 @@ IMAGE_STD = np.array((0.229, 0.224, 0.225), np.float32)
 
 @dataclass
 class PrefillBatch:
-    """Static-shape device inputs for one prefill round (numpy)."""
+    """Static-shape device inputs for one prefill round (numpy).
+
+    With n_shards > 1 (data-sharded encoder) patches/layout arrays carry a
+    leading [n_shards] axis, prompts occupy group-contiguous row blocks, and
+    img_gather holds SHARD-LOCAL token indices."""
 
     patches: np.ndarray  # [cap, patch_dim] uint8 (normalized on device)
     layout: qwen_encoder.EncoderLayout
@@ -49,6 +53,7 @@ class PrefillBatch:
     img_gather: np.ndarray  # [Bp, L] int32 (-1 = text position)
     seq_lens: np.ndarray  # [Bp] int32
     n_prompts: int  # real rows (rest are padding)
+    valid_rows: np.ndarray = None  # [n_prompts] row index per prompt (input order)
 
 
 class RecognitionProcessor:
@@ -188,10 +193,18 @@ class RecognitionProcessor:
         batch_rows: int,
         seq_buckets: Sequence[int],
         patch_caps: Sequence[int],
+        n_shards: int = 1,
     ) -> PrefillBatch:
         """Tile every image, plan the encoder layout at the smallest capacity
         bucket that fits, and build the static right-padded token matrix +
-        image-token scatter map."""
+        image-token scatter map.
+
+        n_shards > 1 (multi-chip data-sharded encoder): prompts are
+        partitioned into n_shards balanced groups (LPT on patch need, at most
+        batch_rows/n_shards rows each), each group gets its own packed layout
+        at a shared capacity bucket, and group g's prompts occupy rows
+        [g*rows_s, ...). Each shard then encodes only its own rows' images —
+        prefill encoder FLOPs scale with chips instead of replicating."""
         all_patches, grids, prompts = [], [], []
         for img, task, text, math_mode in zip(images, tasks, texts, math_modes):
             patches, grid = self.tile_image(img)
@@ -200,7 +213,67 @@ class RecognitionProcessor:
             grids.append(grid)
             prompts.append(self.build_prompt_ids(task, n_tok, text or "", math_mode))
 
-        needed = sum(self.window_slots_needed(g, encoder_config) for g in grids)
+        needs = [self.window_slots_needed(g, encoder_config) for g in grids]
+
+        max_len = max((len(p) for p in prompts), default=1)
+        L = next((b for b in seq_buckets if b >= max_len), None)
+        if L is None:
+            raise ValueError(f"prompt length {max_len} exceeds largest bucket {seq_buckets[-1]}")
+
+        if n_shards > 1:
+            rows_s = batch_rows // n_shards
+            if rows_s * n_shards != batch_rows:
+                raise ValueError(f"batch_rows {batch_rows} not divisible by {n_shards} shards")
+            if len(prompts) > batch_rows:
+                raise ValueError(f"{len(prompts)} prompts > {batch_rows} rows")
+            # LPT: biggest images first, each to the least-loaded group with
+            # row capacity left -> max group load <= total/n + max single need
+            groups: List[List[int]] = [[] for _ in range(n_shards)]
+            loads = [0] * n_shards
+            for i in sorted(range(len(grids)), key=lambda i: -needs[i]):
+                g = min(
+                    (g for g in range(n_shards) if len(groups[g]) < rows_s),
+                    key=lambda g: loads[g],
+                )
+                groups[g].append(i)
+                loads[g] += needs[i]
+            cap = next((c for c in patch_caps if c >= max(loads, default=1)), None)
+            if cap is None:
+                raise ValueError(f"shard needs {max(loads)} window slots > largest cap {patch_caps[-1]}")
+
+            patch_buf = np.zeros((n_shards, cap, self.patch_dim), np.uint8)
+            for g, idxs in enumerate(groups):
+                if idxs:
+                    cat = np.concatenate([all_patches[i] for i in idxs], axis=0)
+                    patch_buf[g, : cat.shape[0]] = cat
+            layout = qwen_encoder.plan_layout_sharded(
+                [[grids[i] for i in idxs] for idxs in groups], encoder_config, cap
+            )
+
+            input_ids = np.full((batch_rows, L), self.pad_token_id, np.int32)
+            img_gather = np.full((batch_rows, L), -1, np.int32)
+            seq_lens = np.ones((batch_rows,), np.int32)
+            valid_rows = np.zeros(len(prompts), np.int32)
+            for g, idxs in enumerate(groups):
+                llm_base = 0  # SHARD-LOCAL token index
+                for pos, i in enumerate(idxs):
+                    r = g * rows_s + pos
+                    valid_rows[i] = r
+                    row = np.asarray(prompts[i], np.int32)
+                    input_ids[r, : len(row)] = row
+                    n_tok = grids[i][0] * grids[i][1] // (self.merge_size**2)
+                    first = int(np.argmax(row == self.image_token_id))
+                    img_gather[r, first : first + n_tok] = np.arange(llm_base, llm_base + n_tok, dtype=np.int32)
+                    llm_base += n_tok
+                    seq_lens[r] = len(row)
+
+            return PrefillBatch(
+                patches=patch_buf, layout=layout, input_ids=input_ids,
+                img_gather=img_gather, seq_lens=seq_lens, n_prompts=len(prompts),
+                valid_rows=valid_rows,
+            )
+
+        needed = sum(needs)
         patch_cap = next((c for c in patch_caps if c >= needed), None)
         if patch_cap is None:
             raise ValueError(f"prefill needs {needed} window slots > largest cap {patch_caps[-1]}")
@@ -210,11 +283,6 @@ class RecognitionProcessor:
         patch_buf[: cat.shape[0]] = cat
 
         layout = qwen_encoder.plan_layout(grids, encoder_config, patch_cap)
-
-        max_len = max((len(p) for p in prompts), default=1)
-        L = next((b for b in seq_buckets if b >= max_len), None)
-        if L is None:
-            raise ValueError(f"prompt length {max_len} exceeds largest bucket {seq_buckets[-1]}")
 
         input_ids = np.full((batch_rows, L), self.pad_token_id, np.int32)
         img_gather = np.full((batch_rows, L), -1, np.int32)
@@ -238,6 +306,7 @@ class RecognitionProcessor:
             img_gather=img_gather,
             seq_lens=seq_lens,
             n_prompts=len(prompts),
+            valid_rows=np.arange(len(prompts), dtype=np.int32),
         )
 
     def decode(self, tokens: List[int], task: str) -> str:

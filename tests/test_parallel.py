@@ -309,3 +309,149 @@ def test_prefill_kernels_shard_map_parity():
     p /= p.sum(-1, keepdims=True)
     expected2 = np.einsum("hqk,khd->qhd", p, np.asarray(vs2))
     assert np.abs(out2 - expected2).max() < 1e-4
+
+
+def _tiny_foundation():
+    import jax
+
+    from surya_tpu.models import foundation, qwen_decoder, qwen_encoder
+
+    enc = qwen_encoder.EncoderConfig(
+        depth=2, hidden_size=64, intermediate_size=128, num_heads=4,
+        window_size=56, out_hidden_size=64, fullatt_block_indexes=(1,),
+    )
+    dec = qwen_decoder.DecoderConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    )
+    cfg = foundation.FoundationConfig(vocab_size=512, encoder=enc, decoder=dec)
+    params = foundation.init_params(cfg, jax.random.PRNGKey(0))
+    return params, cfg
+
+
+def test_sharded_encoder_prefill_parity():
+    """The data-sharded encoder path (stacked per-shard packed layouts +
+    shard_map encode/gather) produces the same prefill outputs as the flat
+    single-device path for the same prompts."""
+    import jax
+    import jax.numpy as jnp
+
+    from surya_tpu.models import foundation, qwen_decoder, qwen_encoder
+    from surya_tpu.parallel import mesh as meshlib
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = meshlib.make_mesh(n_data=4, n_model=2)
+    n_data = 4
+
+    params, cfg = _tiny_foundation()
+    enc = cfg.encoder
+    rng = np.random.default_rng(0)
+
+    B = 8  # rows; 2 per data shard
+    grids = [(4, 6), (6, 8), (4, 4), (4, 6), (8, 6), (4, 4), (6, 6), (4, 8)]
+    raw = {i: rng.standard_normal((h * w, enc.patch_dim), dtype=np.float32) * 0.3 for i, (h, w) in enumerate(grids)}
+    n_tok = [h * w // 4 for h, w in grids]
+    L = 32
+    IMG, BOS, EOI, PAD = cfg.image_token_id, cfg.bos_token_id, 10, cfg.pad_token_id
+
+    def build_rows(order, llm_local=False, rows_s=None):
+        ids = np.full((B, L), PAD, np.int32)
+        gather = np.full((B, L), -1, np.int32)
+        lens = np.zeros(B, np.int32)
+        base = 0
+        for pos, i in enumerate(order):
+            if llm_local and pos % rows_s == 0:
+                base = 0
+            row = [IMG] * n_tok[i] + [4, 5, 6, 7] + [BOS, 20 + i, EOI]
+            ids[pos, : len(row)] = row
+            gather[pos, : n_tok[i]] = np.arange(base, base + n_tok[i])
+            base += n_tok[i]
+            lens[pos] = len(row)
+        return ids, gather, lens
+
+    # flat reference path (single device semantics)
+    flat_cap = 512
+    layout = qwen_encoder.plan_layout(grids, enc, flat_cap)
+    flat_patches = np.zeros((flat_cap, enc.patch_dim), np.float32)
+    cat = np.concatenate([raw[i] for i in range(B)])
+    flat_patches[: cat.shape[0]] = cat
+    ids, gather, lens = build_rows(range(B))
+    cache = qwen_decoder.init_cache(cfg.decoder, B, 64, jnp.float32)
+    slot_idx = jnp.arange(B, dtype=jnp.int32)
+    _, tok_f, score_f, bbox_f = foundation.prefill(
+        params, cfg, cache, jnp.asarray(flat_patches),
+        tuple(jnp.asarray(a) for a in layout.device_args),
+        jnp.asarray(layout.llm_h_idx), jnp.asarray(layout.llm_w_idx),
+        jnp.asarray(ids), jnp.asarray(gather), jnp.asarray(lens), slot_idx,
+        kv_range=layout.kv_range, win_range=layout.win_range, use_pallas=False,
+    )
+
+    # sharded path: 2 prompts per shard, group-contiguous rows, local gathers
+    rows_s = B // n_data
+    groups = [list(range(g * rows_s, (g + 1) * rows_s)) for g in range(n_data)]
+    cap_s = 256
+    slayout = qwen_encoder.plan_layout_sharded(
+        [[grids[i] for i in idxs] for idxs in groups], enc, cap_s
+    )
+    spatches = np.zeros((n_data, cap_s, enc.patch_dim), np.float32)
+    for g, idxs in enumerate(groups):
+        catg = np.concatenate([raw[i] for i in idxs])
+        spatches[g, : catg.shape[0]] = catg
+    ids_s, gather_s, lens_s = build_rows(
+        [i for idxs in groups for i in idxs], llm_local=True, rows_s=rows_s
+    )
+    cache2 = qwen_decoder.init_cache(cfg.decoder, B, 64, jnp.float32)
+    with mesh:
+        _, tok_s, score_s, bbox_s = jax.jit(
+            lambda c, p, ea, h, w, i2, g2, l2, s2: foundation.prefill(
+                params, cfg, c, p, ea, h, w, i2, g2, l2, s2,
+                kv_range=slayout.kv_range, win_range=slayout.win_range,
+                use_pallas=False, mesh=mesh,
+            )
+        )(
+            cache2, jnp.asarray(spatches),
+            tuple(jnp.asarray(a) for a in slayout.device_args),
+            jnp.asarray(slayout.llm_h_idx), jnp.asarray(slayout.llm_w_idx),
+            jnp.asarray(ids_s), jnp.asarray(gather_s), jnp.asarray(lens_s), slot_idx,
+        )
+
+    assert np.array_equal(np.asarray(tok_s), np.asarray(tok_f))
+    assert np.abs(np.asarray(score_s) - np.asarray(score_f)).max() < 1e-4
+    assert np.abs(np.asarray(bbox_s) - np.asarray(bbox_f)).max() <= 1
+
+
+def test_build_prefill_batch_sharded():
+    """n_shards>1: group-contiguous rows, shard-local gathers, valid_rows
+    round-trips every prompt, and content matches the flat build."""
+    from surya_tpu.recognition.loader import load_recognition_model
+
+    _, cfg, proc = load_recognition_model(None, tiny=True)
+    rng = np.random.default_rng(1)
+    imgs = [rng.random((h, w, 3)).astype(np.float32) * 255 for h, w in [(56, 224), (56, 112), (28, 112), (56, 168)]]
+    tasks = ["ocr_with_boxes"] * 4
+    flat = proc.build_prefill_batch(
+        imgs, tasks, [None] * 4, [True] * 4, cfg.encoder,
+        batch_rows=8, seq_buckets=(128,), patch_caps=(1024, 4096), n_shards=1,
+    )
+    sh = proc.build_prefill_batch(
+        imgs, tasks, [None] * 4, [True] * 4, cfg.encoder,
+        batch_rows=8, seq_buckets=(128,), patch_caps=(1024, 4096), n_shards=2,
+    )
+    assert sh.patches.ndim == 3 and sh.patches.shape[0] == 2
+    assert sh.valid_rows.shape == (4,)
+    assert len(set(sh.valid_rows.tolist())) == 4
+    rows_s = 8 // 2
+    for i, r in enumerate(sh.valid_rows):
+        g = r // rows_s
+        # same token row content as the flat build, just relocated
+        assert np.array_equal(sh.input_ids[r], flat.input_ids[i])
+        assert sh.seq_lens[r] == flat.seq_lens[i]
+        # gathers are shard-local: indices fit the shard's llm capacity
+        valid = sh.img_gather[r][sh.img_gather[r] >= 0]
+        assert valid.max() < sh.layout.unscatter.shape[1], (g, valid.max())
+    # padding rows stay padding
+    used = set(sh.valid_rows.tolist())
+    for r in range(8):
+        if r not in used:
+            assert (sh.input_ids[r] == proc.pad_token_id).all()
