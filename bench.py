@@ -117,6 +117,16 @@ def main():
     from surya_tpu.recognition import RecognitionPredictor
     from surya_tpu.settings import settings
 
+    # settings.DEVICE falls back to "cpu" as a last resort so library users
+    # stay alive — but a CPU-throughput number here would be a plausible-
+    # looking bogus datapoint, not a TPU benchmark. Fail parseably instead.
+    if settings.DEVICE != "tpu":
+        emit_failure(
+            f"backend resolved to {settings.DEVICE!r} after the probe succeeded "
+            "(tunnel wedged between probe and in-process init)"
+        )
+        sys.exit(0)
+
     pages = [build_page() for _ in range(N_PAGES)]
 
     det = DetectionPredictor()
@@ -158,8 +168,8 @@ def main():
     # decode-heavy split: the real 224-token task budget instead of the
     # 64-token cap. Same seq bucket and cache length, so no extra compiles —
     # only the decode-chunk count changes (~4x more decode per line).
+    cap = settings.RECOGNITION_MAX_TOKENS
     try:
-        cap = settings.RECOGNITION_MAX_TOKENS
         settings.RECOGNITION_MAX_TOKENS = DECODE_HEAVY_TOKENS
         hv_pages = pages[:DECODE_HEAVY_PAGES]
         hv_polys = polys[:DECODE_HEAVY_PAGES]
@@ -180,15 +190,21 @@ def main():
     except Exception:
         lat = lat or [float("nan")]
 
+    def rate(n, s):  # None (JSON null) when the split failed — never NaN/inf
+        import math
+
+        return round(n / s, 4) if math.isfinite(s) and s > 0 else None
+
+    p50 = statistics.median(lat)
     pages_per_sec = N_PAGES / full_s
     emit(
         pages_per_sec,
         pages_per_sec / BASELINE_PAGES_PER_SEC,
         {
-            "detect_only_pages_per_sec": round(N_PAGES / det_s, 4),
-            "rec_only_pages_per_sec": round(N_PAGES / rec_s, 4),
-            "decode224_rec_only_pages_per_sec": round(DECODE_HEAVY_PAGES / heavy_s, 4),
-            "p50_page_latency_s": round(statistics.median(lat), 4),
+            "detect_only_pages_per_sec": rate(N_PAGES, det_s),
+            "rec_only_pages_per_sec": rate(N_PAGES, rec_s),
+            "decode224_rec_only_pages_per_sec": rate(DECODE_HEAVY_PAGES, heavy_s),
+            "p50_page_latency_s": round(p50, 4) if p50 == p50 else None,
             "boxes_per_page": round(boxes_per_page, 1),
         },
     )

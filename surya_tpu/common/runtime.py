@@ -2,10 +2,34 @@
 
 from __future__ import annotations
 
+import hashlib
 import os
 from pathlib import Path
 
 _configured = False
+
+
+def _machine_fingerprint() -> str:
+    """Hash of the CPU feature set + jax version.
+
+    The persistent cache stores XLA AOT results; loading one compiled under a
+    different CPU feature set (VM boots migrate across hosts) logs
+    "machine type ... doesn't match" and can fail at execution with buffer
+    mismatches (observed: "supplied 83 buffers but compiled program expected
+    86"). Salting the cache dir per machine profile makes such entries
+    unreachable instead of latent."""
+    import jax
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(f"{jax.__version__}|{flags}".encode()).hexdigest()[:12]
 
 
 def setup_jax():
@@ -21,7 +45,7 @@ def setup_jax():
     from surya_tpu.settings import settings
 
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or str(
-        Path(settings.MODEL_CACHE_DIR).parent / "jax_cache"
+        Path(settings.MODEL_CACHE_DIR).parent / f"jax_cache-{_machine_fingerprint()}"
     )
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
     try:

@@ -40,8 +40,11 @@ class DetectionPredictor(BasePredictor):
     batch_size = settings.DETECTOR_BATCH_SIZE
     default_batch_sizes = {"cpu": 8, "tpu": 36}
     # batches routed to host CRAFT after an on-device postprocess failure
-    # before the device path is retried
+    # before the device path is retried; doubles per consecutive failure (a
+    # permanently-broken path must not re-pay the failed forward every 8
+    # batches forever) up to STATS_RETRY_MAX, and resets on success
     STATS_RETRY_AFTER = 8
+    STATS_RETRY_MAX = 512
 
     def __init__(self, checkpoint: Optional[str] = None, tiny: bool = False):
         self._tiny = tiny
@@ -54,6 +57,7 @@ class DetectionPredictor(BasePredictor):
         # routed to the host path after a failure (a transient backend error
         # must not downgrade the predictor for the process lifetime)
         self._stats_skip = 0
+        self._stats_backoff = None  # doubles per consecutive failure; None = base
         self.setup_mesh()  # dp: pixel batches shard over the data axis
 
         # _apply_heat is the patchable graph tail (benches hook it): float
@@ -311,13 +315,17 @@ class DetectionPredictor(BasePredictor):
                             "host postprocess for this batch", max_comps, int(n_raw.max()),
                         )
                         device_stats = False
+                    else:
+                        self._stats_backoff = None  # success: reset to base
                 except Exception as e:  # backend/compile failure: host path still works
+                    backoff = self._stats_backoff or self.STATS_RETRY_AFTER
                     logger.warning(
                         "on-device detection postprocess failed (%s); host CRAFT for the "
                         "next %d batches, then retrying the device path",
-                        e, self.STATS_RETRY_AFTER,
+                        e, backoff, exc_info=True,
                     )
-                    self._stats_skip = self.STATS_RETRY_AFTER
+                    self._stats_skip = backoff
+                    self._stats_backoff = min(backoff * 2, self.STATS_RETRY_MAX)
                     device_stats = False
 
             if device_stats:

@@ -155,6 +155,16 @@ def prefill(params, config: DecoderConfig, embeds: jnp.ndarray, seq_lens: jnp.nd
     cos, sin = _rope_cos_sin(config, positions)
     cos, sin = cos[None, :, None, :], sin[None, :, None, :]
     if use_pallas and mesh is not None:
+        from surya_tpu.parallel import mesh as meshlib
+
+        # shard_map needs exact divisibility (B over data, q+kv heads over
+        # model); odd meshes fall back to the GSPMD-partitionable dense path
+        if not meshlib.kernel_shardable(
+            mesh, B, config.num_attention_heads, config.num_key_value_heads
+        ):
+            use_pallas = False
+            mesh = None
+    if use_pallas and mesh is not None:
         from surya_tpu.ops import flash
 
         attend = lambda q, k, v: flash.causal_flash_attention_shard_map(q, k, v, mesh)  # noqa: E731

@@ -27,7 +27,7 @@ reference's window ordering).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -118,6 +118,7 @@ def plan_layout_sharded(
     config: "EncoderConfig",
     cap: int,
     embed_encoding_multiplier: int = 256,
+    orig_index: "Optional[List[List[int]]]" = None,
 ) -> EncoderLayout:
     """Stack one plan per data shard into a single EncoderLayout whose arrays
     carry a leading [n_shards] axis (sharded over the mesh's data axis by the
@@ -127,6 +128,16 @@ def plan_layout_sharded(
     prefill FLOPs scale with chips instead of replicating (multi-chip
     prefill: each shard encodes only its own rows' images)."""
     plans = [plan_layout(g, config, cap, embed_encoding_multiplier) for g in shard_grids]
+    # tokens_per_image keeps its per-INPUT-image contract: shard grids are
+    # LPT-permuted, so restore input order via orig_index when the caller
+    # provides the shard->input mapping (flattened group order otherwise)
+    tokens_flat = [t for p in plans for t in p.tokens_per_image]
+    if orig_index is not None:
+        flat_idx = [i for idxs in orig_index for i in idxs]
+        restored = [0] * (max(flat_idx) + 1 if flat_idx else 0)
+        for i, t in zip(flat_idx, tokens_flat):
+            restored[i] = t
+        tokens_flat = restored
     kv_range = max(p.kv_range for p in plans)
     win_range = max(p.win_range for p in plans)
     kv_range = min(cap, kv_range)
@@ -146,7 +157,7 @@ def plan_layout_sharded(
         unscatter=stack("unscatter"),
         llm_h_idx=stack("llm_h_idx"),
         llm_w_idx=stack("llm_w_idx"),
-        tokens_per_image=[t for p in plans for t in p.tokens_per_image],
+        tokens_per_image=tokens_flat,
         kv_starts=np.stack([np.minimum(p.kv_starts, cap - kv_range) for p in plans]),
         kv_range=kv_range,
         win_starts=np.stack([np.minimum(p.win_starts, cap - win_range) for p in plans]),

@@ -352,6 +352,14 @@ def gqa_decode(
 
         use_pallas = settings.USE_PALLAS_ATTENTION and settings.DEVICE != "cpu"
     if use_pallas and mesh is not None:
+        from surya_tpu.parallel import mesh as meshlib
+
+        # shard_map needs exact divisibility; odd meshes keep the jnp path
+        # (GSPMD pads) instead of a trace-time crash
+        if not meshlib.kernel_shardable(mesh, q.shape[0], q.shape[1], k_cache.shape[2]):
+            return gqa_decode_reference(
+                q, k_cache, v_cache, lengths, chunk_k, chunk_v, step, layer, k_scale, v_scale
+            )
         return gqa_decode_shard_map(
             q, k_cache, v_cache, lengths, chunk_k, chunk_v, step, layer, k_scale, v_scale, mesh=mesh
         )

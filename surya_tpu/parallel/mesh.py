@@ -37,6 +37,19 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def kernel_shardable(mesh: Mesh, batch: int, *head_counts: int) -> bool:
+    """True when the Pallas shard_map wrappers can partition these dims.
+
+    shard_map needs exact divisibility (unlike GSPMD, which pads); an odd
+    mesh (model axis not dividing kv heads, data axis not dividing the slot
+    count) must fall back to the jnp path instead of crashing at trace time
+    inside the jitted program."""
+    if batch % mesh.shape[DATA_AXIS] != 0:
+        return False
+    n_model = mesh.shape[MODEL_AXIS]
+    return n_model == 1 or all(h % n_model == 0 for h in head_counts)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

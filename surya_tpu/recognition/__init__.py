@@ -452,7 +452,7 @@ class RecognitionPredictor(BasePredictor):
                     seq_buckets=self.seq_buckets,
                     patch_caps=self.patch_caps,
                     # data-sharded encoder: one packed plan per data shard
-                    n_shards=self.n_data if self.n_data > 1 else 1,
+                    n_shards=self.n_data,
                 )
             return round_prompts, batch, batch_rows
 

@@ -247,7 +247,8 @@ class RecognitionProcessor:
                     cat = np.concatenate([all_patches[i] for i in idxs], axis=0)
                     patch_buf[g, : cat.shape[0]] = cat
             layout = qwen_encoder.plan_layout_sharded(
-                [[grids[i] for i in idxs] for idxs in groups], encoder_config, cap
+                [[grids[i] for i in idxs] for idxs in groups], encoder_config, cap,
+                orig_index=groups,
             )
 
             input_ids = np.full((batch_rows, L), self.pad_token_id, np.int32)

@@ -158,8 +158,40 @@ def test_transient_failure_recovers(blob_detector):
         r4 = _run(blob_detector, [page], on_device=True)[0]  # device path again
         assert calls["n"] == 2
         assert blob_detector._stats_skip == 0
+        assert blob_detector._stats_backoff is None  # success resets backoff
         _compare(r1, r4)
     finally:
         blob_detector._forward_stats = orig
         del blob_detector.STATS_RETRY_AFTER
         blob_detector._stats_skip = 0
+        blob_detector._stats_backoff = None
+
+
+def test_persistent_failure_backs_off_exponentially(blob_detector):
+    """Consecutive failures double the host-path window (a permanently-broken
+    device path must not re-pay the failed forward every N batches forever),
+    capped at STATS_RETRY_MAX."""
+    page = _page(lines=4)
+    orig = blob_detector._forward_stats
+
+    def always_fail(*args, **kwargs):
+        raise RuntimeError("injected persistent backend failure")
+
+    blob_detector._forward_stats = always_fail
+    blob_detector.STATS_RETRY_AFTER = 2
+    blob_detector.STATS_RETRY_MAX = 8
+    try:
+        _run(blob_detector, [page], on_device=True)  # fail #1
+        assert (blob_detector._stats_skip, blob_detector._stats_backoff) == (2, 4)
+        blob_detector._stats_skip = 0  # fast-forward the skip window
+        _run(blob_detector, [page], on_device=True)  # fail #2
+        assert (blob_detector._stats_skip, blob_detector._stats_backoff) == (4, 8)
+        blob_detector._stats_skip = 0
+        _run(blob_detector, [page], on_device=True)  # fail #3: capped
+        assert (blob_detector._stats_skip, blob_detector._stats_backoff) == (8, 8)
+    finally:
+        blob_detector._forward_stats = orig
+        del blob_detector.STATS_RETRY_AFTER
+        del blob_detector.STATS_RETRY_MAX
+        blob_detector._stats_skip = 0
+        blob_detector._stats_backoff = None

@@ -56,10 +56,10 @@ def test_segmented_block_attention(ranged):
     assert np.abs(out - expected).max() < 1e-5
 
 
-@pytest.mark.parametrize("L,gqa", [(256, True), (384, False)])
+@pytest.mark.parametrize("L,gqa", [(256, True), (320, False)])
 def test_causal_flash_attention(L, gqa):
     """Causal prefill kernel (interpret) vs the dense sdpa path, incl. GQA
-    and a non-power-of-two length (block shrink)."""
+    and a length that 128 doesn't divide (320 -> block_q shrinks to 64)."""
     import jax.numpy as jnp
 
     from surya_tpu.ops import attention as att

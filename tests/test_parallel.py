@@ -455,3 +455,42 @@ def test_build_prefill_batch_sharded():
     for r in range(8):
         if r not in used:
             assert (sh.input_ids[r] == proc.pad_token_id).all()
+    # tokens_per_image keeps its per-INPUT-image contract despite the LPT
+    # group permutation (sharded plan restores input order via orig_index)
+    assert sh.layout.tokens_per_image == flat.layout.tokens_per_image
+
+
+def test_kernel_shardable_odd_mesh_falls_back():
+    """Mesh shapes shard_map can't divide (model axis not dividing kv heads,
+    data axis not dividing slots) route to the jnp path instead of crashing
+    at trace time inside the jitted program."""
+    import jax
+    import jax.numpy as jnp
+
+    from surya_tpu.ops import decode_attn
+    from surya_tpu.parallel import mesh as meshlib
+
+    mesh = meshlib.make_mesh(n_data=2, n_model=4)  # 4 does not divide kvh=2
+    assert not meshlib.kernel_shardable(mesh, 8, 4, 2)
+    assert meshlib.kernel_shardable(mesh, 8, 8, 4)
+    assert not meshlib.kernel_shardable(mesh, 7, 8, 4)  # data doesn't divide
+
+    layers, B, H, kvh, S, K, D = 1, 8, 4, 2, 16, 4, 8
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((layers, B, kvh, S, D)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((layers, B, kvh, S, D)), jnp.float32)
+    ck = jnp.asarray(rng.standard_normal((layers, B, kvh, K, D)), jnp.float32)
+    cv = jnp.asarray(rng.standard_normal((layers, B, kvh, K, D)), jnp.float32)
+    lens = jnp.full((B,), 8, jnp.int32)
+
+    # use_pallas=True + incompatible mesh: dispatcher must not reach the
+    # shard_map wrapper (whose specs would raise) — jnp reference instead
+    with mesh:
+        out = jax.jit(
+            lambda *a: decode_attn.gqa_decode(*a, use_pallas=True, mesh=mesh)
+        )(q, kc, vc, lens, ck, cv, jnp.int32(2), jnp.int32(0))
+    ref = decode_attn.gqa_decode_reference(
+        q, kc, vc, lens, ck, cv, jnp.int32(2), jnp.int32(0)
+    )
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-5
