@@ -85,12 +85,14 @@ def install_synthetic_detector(det):
     efficientvit.install_blob_detector(det)
 
 
-def wait_for_backend(max_wait_s=900, interval_s=180):
+def wait_for_backend(max_wait_s=2100, interval_s=600):
     """Probe backend init in a SUBPROCESS (a failed in-process init can
     poison jax's backend registry) until the tunnel answers or the budget
     runs out. A wedged tunnel recovers only while NOTHING touches it — and
     killing a hung probe is itself a killed-mid-RPC event that can re-wedge
-    the relay — so probes are short (90s) and the idle gaps long (180s)."""
+    the relay — so probes are short (90s) and the idle gaps LONGER than the
+    relay's observed 5-10 min recovery window (measured: 180s gaps re-wedge
+    forever; 4 probes over 15 min never initialized)."""
     probe = "import jax; assert len(jax.devices()) > 0"
     deadline = time.time() + max_wait_s
     attempt = 0
@@ -224,12 +226,14 @@ def _watchdog(seconds=2400):
 
 
 if __name__ == "__main__":
-    _watchdog()
     try:
+        # probe phase is self-bounded (max_wait_s); the watchdog arms AFTER
+        # init succeeds so the compile+measure phase gets its full budget
         ok, attempts = wait_for_backend()
         if not ok:
-            emit_failure(f"TPU backend never initialized ({attempts} probes over 15 min)")
+            emit_failure(f"TPU backend never initialized ({attempts} probes over 35 min)")
             sys.exit(0)
+        _watchdog()
         main()
     except BaseException as e:  # noqa: BLE001 — ANY failure must stay parseable
         if isinstance(e, SystemExit) and (e.code in (0, None)):
