@@ -285,9 +285,17 @@ class RecognitionPredictor(BasePredictor):
     def _prepare_image(self, image: np.ndarray, task_name: str) -> np.ndarray:
         img_size = self.tasks[task_name]["img_size"]
         try:
+            if image.shape[0] == 0 or image.shape[1] == 0:
+                # degenerate crop (zero-area polygon): scale_to_fit returns
+                # empty input unchanged and tile_image's resize would raise —
+                # substitute a blank like the reference (its :272-278)
+                raise cv2.error("empty crop")
             return self.processor.scale_to_fit(image, img_size)
         except cv2.error:
-            return np.zeros((img_size[1], img_size[0], 3), np.float32)
+            # blank at scale_to_fit's MIN budget (not the task's max): a
+            # degenerate crop produces no text either way, and the cache/seq
+            # buckets are sized from prompt_len_bound of the original shape
+            return np.zeros((168, 168, 3), np.float32)
 
     def _estimate_window_slots(self, image: np.ndarray) -> int:
         f = self.processor.factor
@@ -329,9 +337,12 @@ class RecognitionPredictor(BasePredictor):
         max_prompt = 0
         for p in queue:
             img_size = self.tasks[p.task_name]["img_size"]
-            # area bound + resize-rounding margin + special tokens
-            est_tokens = (img_size[0] * img_size[1]) // (self.processor.factor**2) + 128
-            est_tokens += len(p.text or "")
+            # exact scale_to_fit + tiling arithmetic on the actual crop — the
+            # task's full pixel budget would put every line wave in a 512
+            # bucket when a typical line prompt is ~60 tokens
+            est_tokens = self.processor.prompt_len_bound(
+                p.image.shape, img_size, p.task_name, p.text, p.math_mode
+            )
             max_prompt = max(max_prompt, est_tokens)
         prompt_bucket = next((b for b in self.seq_buckets if b >= max_prompt), self.seq_buckets[-1])
         cache_len = min(

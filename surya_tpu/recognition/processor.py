@@ -169,6 +169,35 @@ class RecognitionProcessor:
         padding, so this is exactly its patch count."""
         return grid[0] * grid[1]
 
+    def prompt_len_bound(self, image_shape, max_size: Tuple[int, int], task: str,
+                         text: Optional[str], math_mode: bool = True) -> int:
+        """Upper bound (exact + small slack) on the built prompt length for a
+        raw crop of this shape, mirroring scale_to_fit + tile_image arithmetic.
+
+        Lets the scheduler size the KV cache and pick seq buckets from the
+        ACTUAL queued crops instead of the task's full pixel budget — a
+        typical OCR line is ~60 prompt tokens, not the 340 the area bound
+        implies, and decoder prefill/decode cost scales with the bucket."""
+        h, w = int(image_shape[0]), int(image_shape[1])
+        if h <= 0 or w <= 0:
+            h = w = self.factor
+        cur = w * h
+        max_px = max_size[0] * max_size[1]
+        min_px = 168 * 168  # scale_to_fit's min_size default
+        if cur > max_px:
+            s = (max_px / cur) ** 0.5
+            w, h = math.floor(w * s), math.floor(h * s)
+        elif cur < min_px:
+            s = (min_px / cur) ** 0.5
+            w, h = math.ceil(w * s), math.ceil(h * s)
+        f = self.factor
+        llm = max(1, math.ceil(h / f)) * max(1, math.ceil(w / f))
+        # cv2-failure fallback in _prepare_image is a 168x168 blank
+        llm = max(llm, math.ceil(168 / f) ** 2)
+        n_text = len(self.tokenizer.encode(text, task=task)) if text else 0
+        # registers + BOS + EOI + slack for <ROT>/<NO-MATH> prefixes
+        return llm + len(self.register_token_ids) + 2 + n_text + 2
+
     # -- prompt assembly -----------------------------------------------------
 
     def build_prompt_ids(self, task: str, n_image_tokens: int, text: str, math_mode: bool, rotated: bool = False) -> List[int]:

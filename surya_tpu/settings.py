@@ -111,7 +111,10 @@ class Settings(BaseModel):
     # TPU scheduling knobs: tokens decoded on-device per host visit, and the
     # static sequence-length buckets prefill rounds compile against
     RECOGNITION_DECODE_CHUNK: int = 64
-    RECOGNITION_SEQ_BUCKETS: tuple = (512, 1024, 1536)
+    # smallest bucket that fits a wave's longest prompt wins; typical OCR
+    # line prompts are ~60 tokens (image tokens + specials), so the small
+    # buckets cut decoder-prefill FLOPs ~4x and right-size the KV cache
+    RECOGNITION_SEQ_BUCKETS: tuple = (128, 256, 512, 1024, 1536)
 
     # Layout
     LAYOUT_MODEL_CHECKPOINT: str = "s3://layout/2025_02_18"

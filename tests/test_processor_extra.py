@@ -70,3 +70,32 @@ def test_render_html():
     html = render_text_html([[10, 10, 200, 40]], ["hello <b>world</b>"], (400, 300))
     assert "hello &lt;b&gt;world&lt;/b&gt;" in html  # plain text is escaped
     assert "width: 400px" in html and "katex" in html
+
+
+def test_prompt_len_bound_covers_actual():
+    """prompt_len_bound must upper-bound the prompt build_prefill_batch
+    actually constructs (the scheduler sizes the KV cache from it; an
+    underestimate would overflow the cache) while staying tight enough
+    that a typical line lands in a small seq bucket."""
+    import math
+
+    proc = _processor()
+    rng = np.random.default_rng(1)
+    shapes = [(32, 565), (9, 2000), (400, 3000), (168, 168), (1, 1), (300, 90), (256, 1024)]
+    task = "ocr_with_boxes"
+    max_size = (1024, 256)
+    for h, w in shapes:
+        for text in (None, "hello <math>x^2</math> world"):
+            for math_mode in (True, False):
+                crop = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+                bound = proc.prompt_len_bound((h, w), max_size, task, text, math_mode)
+                prepared = proc.scale_to_fit(crop, max_size)
+                patches, grid = proc.tile_image(prepared)
+                n_tok = grid[0] * grid[1] // (proc.merge_size**2)
+                ids = proc.build_prompt_ids(task, n_tok, text or "", math_mode)
+                assert len(ids) <= bound, (h, w, text, math_mode, len(ids), bound)
+                assert bound <= len(ids) + 4  # tight: only the ROT/NO-MATH slack
+
+    # a typical detected line fits the smallest default bucket
+    line_bound = proc.prompt_len_bound((32, 565), max_size, task, None, True)
+    assert line_bound <= 128

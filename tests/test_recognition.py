@@ -55,6 +55,15 @@ def test_empty_inputs(recognition_predictor):
     assert recognition_predictor([], bboxes=[]) == []
 
 
+def test_degenerate_polygon_crop(recognition_predictor, test_image):
+    """A zero-area polygon slices to an empty array; the blank-image fallback
+    must carry it through the pipeline (reference :272-278) instead of
+    crashing tile_image's resize."""
+    polys = [[[[5, 5], [5, 5], [5, 5], [5, 5]]]]
+    results = recognition_predictor([test_image], polygons=polys)
+    assert len(results[0].text_lines) == 1
+
+
 def test_held_wave_multi_chunk(recognition_predictor, test_image):
     """Waves needing several decode chunks exercise the held speculative
     build: wave 2 is packed while wave 1 still decodes, then waits for its
