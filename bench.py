@@ -168,8 +168,8 @@ def main():
         pass
 
     # decode-heavy split: the real 224-token task budget instead of the
-    # 64-token cap. Same seq bucket and cache length, so no extra compiles —
-    # only the decode-chunk count changes (~4x more decode per line).
+    # 64-token cap. The right-sized cache grows (384 vs 256 columns), so the
+    # warm call below compiles this split's programs before timing.
     cap = settings.RECOGNITION_MAX_TOKENS
     try:
         settings.RECOGNITION_MAX_TOKENS = DECODE_HEAVY_TOKENS
