@@ -745,6 +745,40 @@ class RecognitionPredictor(BasePredictor):
 
         if bboxes is None and polygons is None:
             assert det_predictor is not None, "need a detection predictor or explicit boxes"
+            G = settings.RECOGNITION_DET_PIPELINE_PAGES
+            if G and len(images) > G:
+                # software pipeline: detect group i+1 in a worker thread while
+                # group i is recognized — detection's host postprocess/slicing
+                # overlaps recognition's device time and vice versa. Group
+                # results concatenate in order; per-group width sort keeps
+                # prefill rounds shape-homogeneous within each group.
+                spans = [(s, min(s + G, len(images))) for s in range(0, len(images), G)]
+
+                def detect_span(span):
+                    s, e = span
+                    return self.detect_and_slice_bboxes(
+                        images[s:e], task_names[s:e], det_predictor,
+                        detection_batch_size=detection_batch_size,
+                        highres_images=highres_images[s:e],
+                    )
+
+                results: List[OCRResult] = []
+                with ThreadPoolExecutor(max_workers=1) as det_worker:
+                    fut = det_worker.submit(detect_span, spans[0])
+                    for gi, span in enumerate(spans):
+                        flat = fut.result()
+                        if gi + 1 < len(spans):
+                            fut = det_worker.submit(detect_span, spans[gi + 1])
+                        results.extend(
+                            self._recognize_flat(
+                                images[span[0] : span[1]], flat,
+                                recognition_batch_size=recognition_batch_size,
+                                math_mode=math_mode, sort_lines=sort_lines,
+                                return_words=return_words,
+                                drop_repeated_text=drop_repeated_text,
+                            )
+                        )
+                return results
             flat = self.detect_and_slice_bboxes(
                 images, task_names, det_predictor,
                 detection_batch_size=detection_batch_size, highres_images=highres_images,
@@ -754,6 +788,24 @@ class RecognitionPredictor(BasePredictor):
 
         if len(flat["slices"]) == 0:
             return []
+
+        return self._recognize_flat(
+            images, flat,
+            recognition_batch_size=recognition_batch_size, math_mode=math_mode,
+            sort_lines=sort_lines, return_words=return_words,
+            drop_repeated_text=drop_repeated_text,
+        )
+
+    def _recognize_flat(
+        self, images, flat, recognition_batch_size=None, math_mode=True,
+        sort_lines=False, return_words=False, drop_repeated_text=False,
+    ) -> List[OCRResult]:
+        """Recognize an already-sliced batch and assemble per-page OCRResults."""
+        if len(flat["slices"]) == 0:
+            return [
+                OCRResult(text_lines=[], image_bbox=[0, 0, img.size[0], img.size[1]])
+                for img in images
+            ]
 
         # longest lines first: keeps prefill rounds shape-homogeneous
         order = sorted(range(len(flat["slices"])), key=lambda i: -flat["slices"][i].shape[1])

@@ -115,6 +115,11 @@ class Settings(BaseModel):
     # line prompts are ~60 tokens (image tokens + specials), so the small
     # buckets cut decoder-prefill FLOPs ~4x and right-size the KV cache
     RECOGNITION_SEQ_BUCKETS: tuple = (128, 256, 512, 1024, 1536)
+    # det->rec software pipeline: pages are recognized in groups of this size
+    # while the NEXT group's detection runs in a worker thread, so each
+    # stream's host/postprocess gaps are filled by the other's device work
+    # (big win on dispatch-latency-bound links). 0 disables the pipeline.
+    RECOGNITION_DET_PIPELINE_PAGES: int = 4
 
     # Layout
     LAYOUT_MODEL_CHECKPOINT: str = "s3://layout/2025_02_18"
