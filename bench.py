@@ -146,26 +146,42 @@ def main():
 
     # best of 3: the development TPU is tunnel-attached and run-to-run
     # wall-clock varies ±30% with link interference
-    def best_of(fn, n=3):
+    def best_of(fn, n=3, tag=""):
         best = float("inf")
-        for _ in range(n):
+        for i in range(n):
             t0 = time.time()
             fn()
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            print(f"# trial {tag}[{i}]: {dt:.2f}s", file=sys.stderr, flush=True)
+            best = min(best, dt)
         return best
 
-    full_s = best_of(lambda: rec(pages, det_predictor=det))
+    full_s = best_of(lambda: rec(pages, det_predictor=det), tag="full")
     # split timings + latency are detail; never let them kill the headline
     # (and a failure in one split must not discard the other's measurement)
     det_s = rec_s = heavy_s = float("inf")
     try:
-        det_s = best_of(lambda: det(pages))
+        det_s = best_of(lambda: det(pages), tag="det")
     except Exception:
         pass
     try:
-        rec_s = best_of(lambda: rec(pages, polygons=polys))
+        rec_s = best_of(lambda: rec(pages, polygons=polys), tag="rec")
     except Exception:
         pass
+
+    # The tunnel can degrade for minutes at a time (BENCH mid-r3: full
+    # measured 13x slower than det+rec splits taken moments later). Full OCR
+    # can never be slower than detection and recognition run back to back —
+    # if it measured slower than 1.5x that, the full trials hit a bad link
+    # window: re-measure now that the splits proved the link healthy.
+    import math
+
+    if math.isfinite(det_s) and math.isfinite(rec_s) and full_s > 1.5 * (det_s + rec_s):
+        print(
+            f"# full ({full_s:.1f}s) inconsistent with det+rec ({det_s:.1f}+{rec_s:.1f}s); re-measuring",
+            file=sys.stderr, flush=True,
+        )
+        full_s = min(full_s, best_of(lambda: rec(pages, det_predictor=det), tag="full2"))
 
     # decode-heavy split: the real 224-token task budget instead of the
     # 64-token cap. The right-sized cache grows (384 vs 256 columns), so the
@@ -176,21 +192,21 @@ def main():
         hv_pages = pages[:DECODE_HEAVY_PAGES]
         hv_polys = polys[:DECODE_HEAVY_PAGES]
         rec(hv_pages, polygons=hv_polys)  # warm
-        heavy_s = best_of(lambda: rec(hv_pages, polygons=hv_polys), n=2)
+        heavy_s = best_of(lambda: rec(hv_pages, polygons=hv_polys), n=2, tag="heavy")
     except Exception:
         pass
     finally:
         settings.RECOGNITION_MAX_TOKENS = cap
 
-    lat = [float("nan")]
-    try:
-        lat = []
-        for _ in range(5):
+    lat = []
+    for i in range(5):
+        try:
             t0 = time.time()
             rec([pages[0]], det_predictor=det)
             lat.append(time.time() - t0)
-    except Exception:
-        lat = lat or [float("nan")]
+        except Exception as e:  # one bad RPC must not void the other trials
+            print(f"# latency trial {i} failed: {type(e).__name__}: {e}", file=sys.stderr, flush=True)
+    lat = lat or [float("nan")]
 
     def rate(n, s):  # None (JSON null) when the split failed — never NaN/inf
         import math
@@ -225,16 +241,73 @@ def _watchdog(seconds=2400):
     signal.alarm(seconds)
 
 
+def _run_measure_child(timeout_s=2500):
+    """Run the measurement phase in a SUBPROCESS: a mid-run backend error
+    (INVALID_ARGUMENT mid-r3) poisons the whole jax process — only a fresh
+    interpreter can retry cleanly. Returns the child's parsed JSON line (the
+    child always emits one) or None if it produced nothing parseable."""
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--measure"],
+        stdout=subprocess.PIPE, timeout=timeout_s,
+    )
+    for line in reversed((r.stdout or b"").decode(errors="replace").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
 if __name__ == "__main__":
+    if "--measure" in sys.argv:
+        try:
+            _watchdog()
+            main()
+        except BaseException as e:  # noqa: BLE001 — ANY failure must stay parseable
+            if isinstance(e, SystemExit) and (e.code in (0, None)):
+                raise
+            emit_failure(f"{type(e).__name__}: {e}")
+        sys.exit(0)
+
+    # parent: probe until the tunnel answers, then run the measurement in a
+    # child process; if the child failed (relay glitches mid-run poison its
+    # backend), idle long enough for the relay to recover and retry with a
+    # fresh interpreter — within an overall budget
     try:
-        # probe phase is self-bounded (max_wait_s); the watchdog arms AFTER
-        # init succeeds so the compile+measure phase gets its full budget
+        deadline = time.time() + 3300
         ok, attempts = wait_for_backend()
         if not ok:
             emit_failure(f"TPU backend never initialized ({attempts} probes over 35 min)")
             sys.exit(0)
-        _watchdog()
-        main()
+        last = None
+        attempt = 0
+        while True:
+            attempt += 1
+            try:
+                result = _run_measure_child()
+            except subprocess.TimeoutExpired:
+                result = None
+            if result and result.get("value"):
+                print(json.dumps(result), flush=True)
+                sys.exit(0)
+            last = result or last
+            # a fresh attempt needs idle-recovery time + full compile time
+            if time.time() + 600 + 1200 > deadline or attempt >= 3:
+                break
+            print(
+                f"# measure attempt {attempt} failed "
+                f"({(result or {}).get('detail', {}).get('error', 'no output')}); "
+                "idling 600s for relay recovery, then retrying in a fresh process",
+                file=sys.stderr, flush=True,
+            )
+            time.sleep(600)
+        if last:
+            print(json.dumps(last), flush=True)
+        else:
+            emit_failure(f"measurement produced no parseable output ({attempt} attempts)")
+        sys.exit(0)
     except BaseException as e:  # noqa: BLE001 — ANY failure must stay parseable
         if isinstance(e, SystemExit) and (e.code in (0, None)):
             raise
