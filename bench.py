@@ -250,14 +250,21 @@ def _run_measure_child(timeout_s=2500):
         [sys.executable, os.path.abspath(__file__), "--measure"],
         stdout=subprocess.PIPE, timeout=timeout_s,
     )
+    # prefer a success line anywhere in the output over a trailing failure
+    # line: a stray post-success emission must not discard a completed
+    # measurement and trigger a pointless 600s idle + re-measure
+    failure = None
     for line in reversed((r.stdout or b"").decode(errors="replace").splitlines()):
         line = line.strip()
         if line.startswith("{"):
             try:
-                return json.loads(line)
+                parsed = json.loads(line)
             except json.JSONDecodeError:
                 continue
-    return None
+            if parsed.get("value"):
+                return parsed
+            failure = failure or parsed
+    return failure
 
 
 if __name__ == "__main__":

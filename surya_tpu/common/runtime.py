@@ -20,6 +20,8 @@ def _machine_fingerprint() -> str:
     unreachable instead of latent."""
     import jax
 
+    import platform
+
     flags = ""
     try:
         with open("/proc/cpuinfo") as f:
@@ -28,8 +30,28 @@ def _machine_fingerprint() -> str:
                     flags = " ".join(sorted(line.split(":", 1)[1].split()))
                     break
     except OSError:
-        pass
+        # no /proc/cpuinfo (macOS etc.): fall back to the coarse platform
+        # identity so the fingerprint never degrades to jax-version-only
+        flags = f"{platform.machine()}|{platform.platform()}"
     return hashlib.sha1(f"{jax.__version__}|{flags}".encode()).hexdigest()[:12]
+
+
+def _reap_stale_caches(current: Path, keep: int = 3) -> None:
+    """Fingerprinted cache dirs accumulate across VM migrations (each can be
+    GBs of XLA AOT artifacts). Keep the current dir plus the `keep` most
+    recently used siblings; delete the rest, best-effort."""
+    import shutil
+
+    try:
+        siblings = [
+            d for d in current.parent.glob("jax_cache-*")
+            if d.is_dir() and d.name != current.name
+        ]
+        siblings.sort(key=lambda d: d.stat().st_mtime, reverse=True)
+        for stale in siblings[keep:]:
+            shutil.rmtree(stale, ignore_errors=True)
+    except OSError:
+        pass
 
 
 def setup_jax():
@@ -48,6 +70,7 @@ def setup_jax():
         Path(settings.MODEL_CACHE_DIR).parent / f"jax_cache-{_machine_fingerprint()}"
     )
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    _reap_stale_caches(Path(cache_dir))
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -110,7 +110,9 @@ class RecognitionPredictor(BasePredictor):
         # slot count (incl. trash slot) and prefill rows divisible by the
         # data axis so batch shardings are even
         self.n_slots = -(-(batch + 1) // self.n_data) * self.n_data - 1
-        self.prefill_rows = max(1, -(-(batch // 4) // self.n_data) * self.n_data)
+        # floor at n_data (not 1): a tiny caller batch must still produce
+        # shard-divisible prefill rows on a data-sharded mesh
+        self.prefill_rows = max(self.n_data, -(-(batch // 4) // self.n_data) * self.n_data)
         # row buckets: big refill waves (e.g. the initial fill) go through one
         # large prefill dispatch instead of several small ones — dispatch
         # overhead is significant on remote-attached TPUs
@@ -295,7 +297,9 @@ class RecognitionPredictor(BasePredictor):
             # blank at scale_to_fit's MIN budget (not the task's max): a
             # degenerate crop produces no text either way, and the cache/seq
             # buckets are sized from prompt_len_bound of the original shape
-            return np.zeros((168, 168, 3), np.float32)
+            from surya_tpu.recognition.processor import MIN_IMAGE_SIZE
+
+            return np.zeros((MIN_IMAGE_SIZE, MIN_IMAGE_SIZE, 3), np.float32)
 
     def _estimate_window_slots(self, image: np.ndarray) -> int:
         f = self.processor.factor
@@ -786,9 +790,9 @@ class RecognitionPredictor(BasePredictor):
         else:
             flat = self.slice_bboxes(images, task_names, bboxes=bboxes, polygons=polygons, input_text=input_text)
 
-        if len(flat["slices"]) == 0:
-            return []
-
+        # no early [] return here: zero detected lines still yields one empty
+        # OCRResult per page (inside _recognize_flat), matching the pipelined
+        # det->rec path and the reference's per-image output contract
         return self._recognize_flat(
             images, flat,
             recognition_batch_size=recognition_batch_size, math_mode=math_mode,

@@ -35,6 +35,11 @@ from surya_tpu.recognition.tokenizer import (
     TaskNames,
 )
 
+# minimum crop edge after scale_to_fit; prompt_len_bound and the degenerate-
+# crop blank in RecognitionPredictor._prepare_image must agree with it — a
+# mismatch would under-size the KV cache and silently clamp prompt-tail KV
+MIN_IMAGE_SIZE = 168
+
 IMAGE_MEAN = np.array((0.485, 0.456, 0.406), np.float32)
 IMAGE_STD = np.array((0.229, 0.224, 0.225), np.float32)
 
@@ -103,7 +108,7 @@ class RecognitionProcessor:
         return np.asarray(image, dtype=np.float32)
 
     @staticmethod
-    def scale_to_fit(img: np.ndarray, max_size: Tuple[int, int], min_size: Tuple[int, int] = (168, 168)) -> np.ndarray:
+    def scale_to_fit(img: np.ndarray, max_size: Tuple[int, int], min_size: Tuple[int, int] = (MIN_IMAGE_SIZE, MIN_IMAGE_SIZE)) -> np.ndarray:
         """Area-preserving rescale into [min, max] pixel budget (reference
         :143-180; LANCZOS4, floor on shrink, ceil on grow)."""
         height, width = img.shape[:2]
@@ -183,7 +188,7 @@ class RecognitionProcessor:
             h = w = self.factor
         cur = w * h
         max_px = max_size[0] * max_size[1]
-        min_px = 168 * 168  # scale_to_fit's min_size default
+        min_px = MIN_IMAGE_SIZE * MIN_IMAGE_SIZE  # scale_to_fit's min_size default
         if cur > max_px:
             s = (max_px / cur) ** 0.5
             w, h = math.floor(w * s), math.floor(h * s)
@@ -192,8 +197,8 @@ class RecognitionProcessor:
             w, h = math.ceil(w * s), math.ceil(h * s)
         f = self.factor
         llm = max(1, math.ceil(h / f)) * max(1, math.ceil(w / f))
-        # cv2-failure fallback in _prepare_image is a 168x168 blank
-        llm = max(llm, math.ceil(168 / f) ** 2)
+        # cv2-failure fallback in _prepare_image is a MIN_IMAGE_SIZE blank
+        llm = max(llm, math.ceil(MIN_IMAGE_SIZE / f) ** 2)
         n_text = len(self.tokenizer.encode(text, task=task)) if text else 0
         # registers + BOS + EOI + slack for <ROT>/<NO-MATH> prefixes
         return llm + len(self.register_token_ids) + 2 + n_text + 2

@@ -87,3 +87,25 @@ def test_pipeline_empty_group(tiny_pipeline):
     assert len(piped) == len(pages)
     for r in piped[:3]:
         assert len(r.text_lines) > 0
+
+
+def test_all_blank_pages_same_shape_both_paths(tiny_pipeline):
+    """Zero detected lines still yields one empty OCRResult per page on BOTH
+    the sequential and pipelined paths — the result list must never shrink
+    below the page count (a caller zips results against input pages)."""
+    from surya_tpu.settings import settings
+
+    det, rec = tiny_pipeline
+    pages = [Image.new("RGB", (640, 360), "white") for _ in range(3)]
+
+    old_g = settings.RECOGNITION_DET_PIPELINE_PAGES
+    try:
+        settings.RECOGNITION_DET_PIPELINE_PAGES = 0
+        seq = rec([p.copy() for p in pages], det_predictor=det)
+        settings.RECOGNITION_DET_PIPELINE_PAGES = 2
+        piped = rec([p.copy() for p in pages], det_predictor=det)
+    finally:
+        settings.RECOGNITION_DET_PIPELINE_PAGES = old_g
+
+    assert len(seq) == len(piped) == len(pages)
+    assert all(r.text_lines == [] for r in seq + piped)
