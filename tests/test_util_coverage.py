@@ -86,3 +86,28 @@ def test_polygon_box_ops():
     assert box.bbox[0] == 8 and box.bbox[2] == 32
     box.clamp([0, 0, 25, 25])
     assert box.bbox[2] == 25
+
+
+def test_reap_stale_caches(tmp_path):
+    """Only the current fingerprint dir plus the `keep` most recent siblings
+    survive; non-cache dirs and files are untouched."""
+    import os
+    import time as _time
+
+    from surya_tpu.common.runtime import _reap_stale_caches
+
+    current = tmp_path / "jax_cache-current"
+    current.mkdir()
+    for i in range(5):
+        d = tmp_path / f"jax_cache-old{i}"
+        d.mkdir()
+        t = _time.time() - (5 - i) * 3600
+        os.utime(d, (t, t))
+    other = tmp_path / "models"
+    other.mkdir()
+
+    _reap_stale_caches(current, keep=2)
+
+    kept = sorted(p.name for p in tmp_path.iterdir())
+    # newest two siblings (old3, old4) + current + unrelated dir survive
+    assert kept == ["jax_cache-current", "jax_cache-old3", "jax_cache-old4", "models"]
