@@ -293,9 +293,13 @@ if __name__ == "__main__":
         except BaseException as e:  # noqa: BLE001 — ANY failure must stay parseable
             if isinstance(e, SystemExit) and (e.code in (0, None)):
                 raise
-            # a buffer-count/machine-type mismatch means a persistent-cache
-            # artifact from a different attachment: recompiling is the fix
-            if "buffers" in str(e) or "machine type" in str(e):
+            # INVALID_ARGUMENT at execution has meant a poisoned persistent-
+            # cache artifact (serialized during a degraded relay window;
+            # measured 2026-08-19: 3/3 failures loading the cached program,
+            # 3/3 successes recompiling in a fresh dir). Buffer-count /
+            # machine-type mismatches are the cross-attachment variant of
+            # the same disease. Recompiling is the fix for both.
+            if any(t in str(e) for t in ("INVALID_ARGUMENT", "buffers", "machine type")):
                 _invalidate_jax_cache()
             emit_failure(f"{type(e).__name__}: {e}")
         sys.exit(0)

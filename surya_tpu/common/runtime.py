@@ -54,6 +54,26 @@ def _reap_stale_caches(current: Path, keep: int = 3) -> None:
         pass
 
 
+def invalidate_compilation_cache() -> None:
+    """Wipe the persistent compilation cache. Called when a cached program
+    fails at execution with INVALID_ARGUMENT / buffer-count mismatch — a
+    poisoned artifact (serialized during a degraded tunnel window, or
+    compiled under a different attachment) keeps failing every process that
+    loads it; recompiling is the fix. The current process's backend may
+    already be unusable, but the next one starts clean."""
+    import shutil
+
+    try:
+        import jax
+
+        d = jax.config.jax_compilation_cache_dir
+        if d and Path(d).is_dir():
+            shutil.rmtree(d, ignore_errors=True)
+            Path(d).mkdir(parents=True, exist_ok=True)
+    except Exception:
+        pass
+
+
 def setup_jax():
     """Enable the persistent compilation cache (first compile of each program
     shape is 20s-minutes on TPU; the cache makes every later process fast)."""

@@ -324,6 +324,13 @@ class DetectionPredictor(BasePredictor):
                         "next %d batches, then retrying the device path",
                         e, backoff, exc_info=True,
                     )
+                    if "INVALID_ARGUMENT" in str(e) or "buffers" in str(e):
+                        # a poisoned persistent-cache artifact fails every
+                        # process that loads it; wipe so the next one
+                        # recompiles clean (common/runtime.py)
+                        from surya_tpu.common.runtime import invalidate_compilation_cache
+
+                        invalidate_compilation_cache()
                     self._stats_skip = backoff
                     self._stats_backoff = min(backoff * 2, self.STATS_RETRY_MAX)
                     device_stats = False
