@@ -318,22 +318,41 @@ class DetectionPredictor(BasePredictor):
                     else:
                         self._stats_backoff = None  # success: reset to base
                 except Exception as e:  # backend/compile failure: host path still works
-                    backoff = self._stats_backoff or self.STATS_RETRY_AFTER
-                    logger.warning(
-                        "on-device detection postprocess failed (%s); host CRAFT for the "
-                        "next %d batches, then retrying the device path",
-                        e, backoff, exc_info=True,
+                    from surya_tpu.common.runtime import (
+                        note_execution_failure,
+                        recover_from_dispatch_corruption,
                     )
-                    if "INVALID_ARGUMENT" in str(e) or "buffers" in str(e):
-                        # a poisoned persistent-cache artifact fails every
-                        # process that loads it; wipe so the next one
-                        # recompiles clean (common/runtime.py)
-                        from surya_tpu.common.runtime import invalidate_compilation_cache
 
-                        invalidate_compilation_cache()
-                    self._stats_skip = backoff
-                    self._stats_backoff = min(backoff * 2, self.STATS_RETRY_MAX)
-                    device_stats = False
+                    if recover_from_dispatch_corruption(e):
+                        # in-process dispatch corruption (separated-consts
+                        # fastpath bug): caches are cleared, the next device
+                        # attempt re-traces cleanly — retry after one batch
+                        # instead of entering the long backoff
+                        logger.warning(
+                            "on-device detection postprocess hit dispatch "
+                            "corruption (%s); cleared jax caches, retrying "
+                            "the device path next batch", e,
+                        )
+                        self._stats_skip = 1
+                        device_stats = False
+                    else:
+                        backoff = self._stats_backoff or self.STATS_RETRY_AFTER
+                        logger.warning(
+                            "on-device detection postprocess failed (%s); host CRAFT for the "
+                            "next %d batches, then retrying the device path",
+                            e, backoff, exc_info=True,
+                        )
+                        # a poisoned persistent-cache artifact fails every
+                        # process that loads it — but most INVALID_ARGUMENTs
+                        # here are transient relay blips, and wiping GBs of
+                        # XLA artifacts for one of those costs minutes of
+                        # recompiles (ADVICE r3). note_execution_failure
+                        # wipes only on artifact-specific phrasings or on
+                        # repeat.
+                        note_execution_failure(e)
+                        self._stats_skip = backoff
+                        self._stats_backoff = min(backoff * 2, self.STATS_RETRY_MAX)
+                        device_stats = False
 
             if device_stats:
                 pages = []

@@ -102,7 +102,6 @@ def label_components(mask: jnp.ndarray) -> jnp.ndarray:
     return _min_flood(jnp.broadcast_to(idx, mask.shape), mask, jnp.int32(0))
 
 
-@partial(jax.jit, static_argnames=("max_comps",))
 def component_stats(heat: jnp.ndarray, low_text: jnp.ndarray, max_comps: int = 256) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Threshold heat [P, H, W] (float in [0,1]) at low_text (scalar or [P])
     and reduce per-component stats.
@@ -111,7 +110,15 @@ def component_stats(heat: jnp.ndarray, low_text: jnp.ndarray, max_comps: int = 2
     n_raw [P] int32). Components enumerate in row-major first-pixel order;
     pages with more than max_comps components keep the first max_comps —
     n_raw > max_comps tells the caller truncation happened (the detection
-    predictor then reroutes those pages through the host path)."""
+    predictor then reroutes those pages through the host path).
+
+    Deliberately NOT jax.jit-wrapped: it is always called inside an outer
+    jitted program, and a nested jit whose trace closes over outer tracers
+    hits jax 0.9.0's separate_consts path (pjit.py:555 "must fall off the
+    C++ dispatch fast path for correctness" TODO), which corrupts the outer
+    program's dispatch: a later clean-state call supplies fewer buffers than
+    the poisoned executable expects (INVALID_ARGUMENT "supplied 83 buffers
+    but compiled program expected 86" — reproduced and bisected locally)."""
     P, H, W = heat.shape
     low = jnp.broadcast_to(jnp.asarray(low_text, jnp.float32), (P,))[:, None, None]
     mask = heat > low

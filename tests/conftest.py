@@ -17,6 +17,17 @@ os.environ["PALLAS_AXON_POOL_IPS"] = ""  # for child processes
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 os.environ.setdefault("ALLOW_RANDOM_WEIGHTS", "true")
 
+# The test suite (and every CLI subprocess it spawns) gets its OWN fresh
+# persistent-compilation-cache dir: sharing the user cache let a killed test
+# run leave a truncated artifact that poisoned later processes (reproduced in
+# the round-3 review: test_cli.py before test_device_postprocess.py failed
+# with "supplied 83 buffers but compiled program expected 86").
+import tempfile  # noqa: E402
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", tempfile.mkdtemp(prefix="surya-test-jaxcache-")
+)
+
 # A TPU-tunnel plugin in this image (axon sitecustomize) force-selects its
 # platform at interpreter start, silently ignoring JAX_PLATFORMS=cpu — tests
 # would then run on the remote TPU in bf16 and fail exact-fp32 parity

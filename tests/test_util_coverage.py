@@ -111,3 +111,87 @@ def test_reap_stale_caches(tmp_path):
     kept = sorted(p.name for p in tmp_path.iterdir())
     # newest two siblings (old3, old4) + current + unrelated dir survive
     assert kept == ["jax_cache-current", "jax_cache-old3", "jax_cache-old4", "models"]
+
+
+def test_reap_ranks_by_newest_file_inside(tmp_path):
+    """A read-only (all-hits) cache never updates its dir mtime — recency must
+    come from the newest file INSIDE, so an actively-used sibling survives."""
+    import os
+    import time as _time
+
+    from surya_tpu.common.runtime import _reap_stale_caches
+
+    current = tmp_path / "jax_cache-current"
+    current.mkdir()
+    now = _time.time()
+    active = tmp_path / "jax_cache-active"  # old dir mtime, fresh file inside
+    active.mkdir()
+    (active / "entry-cache").write_bytes(b"x")
+    os.utime(active, (now - 9000, now - 9000))
+    for i in range(3):
+        d = tmp_path / f"jax_cache-idle{i}"
+        d.mkdir()
+        t = now - (i + 1) * 3600
+        os.utime(d, (t, t))
+
+    _reap_stale_caches(current, keep=1)
+
+    kept = sorted(p.name for p in tmp_path.iterdir())
+    assert kept == ["jax_cache-active", "jax_cache-current"]
+
+
+def test_atomic_cache_put(tmp_path, monkeypatch):
+    """setup_jax patches jax's LRUCache.put to write temp+rename: the cache
+    dir never contains a partially-written entry file (a kill mid-write used
+    to leave a truncated artifact that poisoned every later process)."""
+    from surya_tpu.common import runtime
+    from jax._src import lru_cache as _lru
+
+    runtime._patch_atomic_cache_writes()
+    assert getattr(_lru.LRUCache, "_surya_atomic", False)
+
+    cache = _lru.LRUCache(str(tmp_path), max_size=-1)
+    seen_partial = []
+    orig_write_bytes = type(tmp_path).write_bytes
+
+    def spy_write_bytes(self, data):
+        # at the moment any file is being written, the FINAL entry name must
+        # not exist yet (writes only ever target .tmp-* names)
+        if (tmp_path / "k-cache").exists() and "tmp-" in self.name:
+            seen_partial.append(self.name)
+        assert self.name != "k-cache", "entry written in place (non-atomic)"
+        return orig_write_bytes(self, data)
+
+    monkeypatch.setattr(type(tmp_path), "write_bytes", spy_write_bytes)
+    cache.put("k", b"payload")
+    monkeypatch.undo()
+
+    assert cache.get("k") == b"payload"
+    assert (tmp_path / "k-cache").read_bytes() == b"payload"
+    assert not list(tmp_path.glob("*.tmp-*"))  # no temp litter
+    # idempotent on existing key (original contract)
+    cache.put("k", b"different")
+    assert cache.get("k") == b"payload"
+
+
+def test_note_execution_failure_gating(tmp_path, monkeypatch):
+    """Cache invalidation triggers immediately on artifact-specific phrasings
+    but only on the SECOND generic INVALID_ARGUMENT (transient relay blips
+    must not wipe GBs of XLA artifacts — ADVICE r3)."""
+    from surya_tpu.common import runtime
+
+    wipes = []
+    monkeypatch.setattr(runtime, "invalidate_compilation_cache", lambda: wipes.append(1))
+    monkeypatch.setattr(runtime, "_failure_count", 0)
+
+    assert not runtime.note_execution_failure("RESOURCE_EXHAUSTED: oom donating buffers")
+    assert not runtime.note_execution_failure("INVALID_ARGUMENT: TPU backend error")
+    assert wipes == []
+    assert runtime.note_execution_failure("INVALID_ARGUMENT: TPU backend error")
+    assert wipes == [1]
+    # artifact-specific phrasing wipes immediately, first time
+    monkeypatch.setattr(runtime, "_failure_count", 0)
+    assert runtime.note_execution_failure(
+        RuntimeError("Execution supplied 83 buffers but compiled program expected 86")
+    )
+    assert wipes == [1, 1]
