@@ -1,9 +1,14 @@
-"""surya_table CLI (reference: surya/scripts/table_recognition.py:26-132)."""
+"""surya_table CLI (behavior parity: surya/scripts/table_recognition.py:26-132).
+
+Layout finds the tables, the highres page supplies the crops, table rec runs
+once over the flat crop batch, and results group back per document with
+page/table indices.
+"""
 
 import copy
 import json
 import os
-from collections import defaultdict
+from collections import Counter, defaultdict
 
 import click
 
@@ -15,6 +20,43 @@ from surya_tpu.scripts.config import CLILoader
 from surya_tpu.table_rec import TableRecPredictor
 
 logger = get_logger()
+
+TABLE_LABELS = ("Table", "TableOfContents")
+
+
+def crop_tables(loader, layout_predictions, skip_table_detection):
+    """Flatten every page's table regions into one crop batch, keeping the
+    page index of each crop. With --skip_table_detection each highres page IS
+    the table."""
+    crops, crop_pages = [], []
+    for page_idx, layout_pred in enumerate(layout_predictions):
+        highres = loader.highres_images[page_idx]
+        if skip_table_detection:
+            crops.append(highres)
+            crop_pages.append(page_idx)
+            continue
+        lowres_size = loader.images[page_idx].size
+        for box in layout_pred.bboxes:
+            if box.label not in TABLE_LABELS:
+                continue
+            highres_bbox = expand_bbox(rescale_bbox(box.bbox, lowres_size, highres.size))
+            crops.append(highres.crop(highres_bbox))
+            crop_pages.append(page_idx)
+    return crops, crop_pages
+
+
+def save_debug_images(crop, pred, result_path, name, page, table_idx):
+    rc_image = draw_bboxes_on_image(
+        [r.bbox for r in pred.rows], copy.deepcopy(crop),
+        labels=[f"Row {r.row_id}" for r in pred.rows], label_font_size=20, color="blue",
+    )
+    rc_image = draw_bboxes_on_image(
+        [c.bbox for c in pred.cols], rc_image,
+        labels=[f"Col {c.col_id}" for c in pred.cols], label_font_size=20, color="red",
+    )
+    rc_image.save(os.path.join(result_path, f"{name}_page{page}_table{table_idx}_rc.png"))
+    cell_image = draw_bboxes_on_image([c.bbox for c in pred.cells], copy.deepcopy(crop), color="green")
+    cell_image.save(os.path.join(result_path, f"{name}_page{page}_table{table_idx}_cells.png"))
 
 
 @click.command(help="Detect and recognize table structure in an input file or folder.")
@@ -28,68 +70,38 @@ logger = get_logger()
 def table_recognition_cli(input_path: str, skip_table_detection: bool, **kwargs):
     loader = CLILoader(input_path, kwargs, highres=True)
 
-    table_rec_predictor = TableRecPredictor()
     layout_predictor = LayoutPredictor()
-
-    pnums = []
-    prev_name = None
-    for name in loader.names:
-        pnums.append(0 if prev_name != name else pnums[-1] + 1)
-        prev_name = name
+    table_rec_predictor = TableRecPredictor()
 
     layout_predictions = layout_predictor(loader.images)
+    crops, crop_pages = crop_tables(loader, layout_predictions, skip_table_detection)
+    table_preds = table_rec_predictor(crops)
 
-    table_imgs, table_counts = [], []
-    for layout_pred, img, highres_img in zip(layout_predictions, loader.images, loader.highres_images):
-        if skip_table_detection:
-            table_imgs.append(highres_img)
-            table_counts.append(1)
-            continue
-        bboxes = [line.bbox for line in layout_pred.bboxes if line.label in ("Table", "TableOfContents")]
-        table_counts.append(len(bboxes))
-        for bb in bboxes:
-            highres_bb = expand_bbox(rescale_bbox(bb, img.size, highres_img.size))
-            table_imgs.append(highres_img.crop(highres_bb))
+    # page numbers restart at 1 within each document name (a PDF's pages
+    # share one name; results.json is keyed by document)
+    pages_seen: Counter = Counter()
+    page_number = []
+    for name in loader.names:
+        pages_seen[name] += 1
+        page_number.append(pages_seen[name])
 
-    table_preds = table_rec_predictor(table_imgs)
-
-    img_idx = 0
-    prev_count = 0
-    table_predictions = defaultdict(list)
-    for i in range(sum(table_counts)):
-        while i >= prev_count + table_counts[img_idx]:
-            prev_count += table_counts[img_idx]
-            img_idx += 1
-
-        pred = table_preds[i]
-        orig_name = loader.names[img_idx]
-        pnum = pnums[img_idx]
-        table_img = table_imgs[i]
+    results = defaultdict(list)
+    tables_on_page: Counter = Counter()
+    for crop, page_idx, pred in zip(crops, crop_pages, table_preds):
+        name = loader.names[page_idx]
+        table_idx = tables_on_page[page_idx]
+        tables_on_page[page_idx] += 1
 
         out_pred = pred.model_dump()
-        out_pred["page"] = pnum + 1
-        table_idx = i - prev_count
+        out_pred["page"] = page_number[page_idx]
         out_pred["table_idx"] = table_idx
-        table_predictions[orig_name].append(out_pred)
+        results[name].append(out_pred)
 
         if loader.save_images:
-            rows = [line.bbox for line in pred.rows]
-            cols = [line.bbox for line in pred.cols]
-            row_labels = [f"Row {line.row_id}" for line in pred.rows]
-            col_labels = [f"Col {line.col_id}" for line in pred.cols]
-            cells = [line.bbox for line in pred.cells]
-
-            rc_image = copy.deepcopy(table_img)
-            rc_image = draw_bboxes_on_image(rows, rc_image, labels=row_labels, label_font_size=20, color="blue")
-            rc_image = draw_bboxes_on_image(cols, rc_image, labels=col_labels, label_font_size=20, color="red")
-            rc_image.save(os.path.join(loader.result_path, f"{orig_name}_page{pnum + 1}_table{table_idx}_rc.png"))
-
-            cell_image = copy.deepcopy(table_img)
-            cell_image = draw_bboxes_on_image(cells, cell_image, color="green")
-            cell_image.save(os.path.join(loader.result_path, f"{orig_name}_page{pnum + 1}_table{table_idx}_cells.png"))
+            save_debug_images(crop, pred, loader.result_path, name, page_number[page_idx], table_idx)
 
     with open(os.path.join(loader.result_path, "results.json"), "w+", encoding="utf-8") as f:
-        json.dump(table_predictions, f, ensure_ascii=False)
+        json.dump(results, f, ensure_ascii=False)
     logger.info("Wrote results to %s", loader.result_path)
 
 
