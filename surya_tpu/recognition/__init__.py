@@ -65,6 +65,9 @@ import re
 
 logger = get_logger()
 
+# sentinel a prediction_loop feeder returns when its prompt stream is over
+FEED_DONE = object()
+
 
 @dataclass
 class RecognitionPrompt:
@@ -312,11 +315,21 @@ class RecognitionPredictor(BasePredictor):
 
     # -- the scheduler -------------------------------------------------------
 
-    def prediction_loop(self, flat: dict, recognition_batch_size=None, math_mode=True):
-        n = len(flat["slices"])
-        predicted_tokens: List[List[int]] = [[] for _ in range(n)]
-        scores: List[List[float]] = [[] for _ in range(n)]
-        bboxes: List[List[np.ndarray]] = [[] for _ in range(n)]
+    def prediction_loop(self, flat: dict, recognition_batch_size=None, math_mode=True,
+                        feeder=None, leftover_sink=None):
+        """Continuous-batching scheduler. With `feeder`, the prompt set is a
+        STREAM: feeder(block) returns the next group's flat dict when ready,
+        None when not ready yet (block=False only), or FEED_DONE when
+        exhausted — new prompts join the live run (one cache, no group-
+        boundary drain). Prompt ids are assigned in arrival order, so outputs
+        align with the caller's concatenated flat lists; the enqueue order is
+        width-sorted per group to keep prefill rounds shape-homogeneous."""
+        if feeder is not None and leftover_sink is None:
+            leftover_sink = []
+
+        predicted_tokens: List[List[int]] = []
+        scores: List[List[float]] = []
+        bboxes: List[List[np.ndarray]] = []
 
         B = recognition_batch_size or self.get_batch_size()
         cfg = self.config
@@ -324,9 +337,45 @@ class RecognitionPredictor(BasePredictor):
 
         queue = deque()
         max_tokens = {}
-        for idx, (img, txt, task) in enumerate(zip(flat["slices"], flat["input_text"], flat["task_names"])):
-            queue.append(RecognitionPrompt(id=idx, task_name=task, image=img, text=txt, math_mode=math_mode))
-            max_tokens[idx] = settings.RECOGNITION_MAX_TOKENS or self.tasks[task]["max_tokens"]
+
+        def add_prompts(f, fit_check=False):
+            """Append a group's prompts: accounting in natural (arrival)
+            order, enqueue width-sorted. With fit_check, prompts whose
+            prompt-bound + budget exceed the first-group-sized cache go to
+            leftover_sink for a follow-up run instead."""
+            base = len(predicted_tokens)
+            group = list(zip(f["slices"], f["input_text"], f["task_names"]))
+            for img, txt, task in group:
+                predicted_tokens.append([])
+                scores.append([])
+                bboxes.append([])
+                max_tokens[len(predicted_tokens) - 1] = (
+                    settings.RECOGNITION_MAX_TOKENS or self.tasks[task]["max_tokens"]
+                )
+            order = sorted(range(len(group)), key=lambda j: -group[j][0].shape[1])
+            for j in order:
+                img, txt, task = group[j]
+                idx = base + j
+                prompt = RecognitionPrompt(id=idx, task_name=task, image=img, text=txt, math_mode=math_mode)
+                if fit_check:
+                    est = self.processor.prompt_len_bound(
+                        img.shape, self.tasks[task]["img_size"], task, txt, math_mode
+                    )
+                    if est + max_tokens[idx] > cache_len:
+                        leftover_sink.append(prompt)
+                        continue
+                queue.append(prompt)
+
+        add_prompts(flat)
+        feed_exhausted = feeder is None
+        # an empty first group must not size the cache: pull until a prompt
+        # exists (or the stream ends) before computing buckets
+        while not queue and not feed_exhausted:
+            nxt = feeder(True)
+            if nxt is FEED_DONE:
+                feed_exhausted = True
+            else:
+                add_prompts(nxt)
 
         n_slots = min(B, self.n_slots)
         if self.n_data > 1:
@@ -382,7 +431,7 @@ class RecognitionPredictor(BasePredictor):
         host_active = np.zeros(n_slots + 1, bool)
         pending_kill = np.zeros(n_slots + 1, bool)
 
-        pbar = tqdm(total=n, desc="Recognizing Text", disable=self.disable_tqdm)
+        pbar = tqdm(total=len(predicted_tokens), desc="Recognizing Text", disable=self.disable_tqdm)
 
         # dp: spread slot allocation round-robin over the shard blocks so
         # prefill KV writes balance across every shard's HBM (util.py)
@@ -500,14 +549,21 @@ class RecognitionPredictor(BasePredictor):
                 return
             kind = inflight[0]
             if kind == "decode":
-                packed = np.asarray(inflight[1])
+                # the dispatch stage only times the async enqueue; the wait
+                # for device compute + D2H lands here — time it separately so
+                # throughput accounting (bench) can reconstruct real walls
+                with stage("recognition.drain_decode"):
+                    packed = np.asarray(inflight[1])
                 inflight = None
                 process_decode(packed)
             else:
                 _, ppacked, dpacked, target_slots, round_prompts, valid_rows = inflight
                 inflight = None
-                if dpacked is not None:
-                    ppacked, dpacked = jax.device_get((ppacked, dpacked))
+                with stage("recognition.drain_prefill"):
+                    if dpacked is not None:
+                        ppacked, dpacked = jax.device_get((ppacked, dpacked))
+                    else:
+                        ppacked = np.asarray(ppacked)
                 seed_from_prefill(np.asarray(ppacked), target_slots, round_prompts, valid_rows)
                 if dpacked is not None:
                     process_decode(np.asarray(dpacked))
@@ -523,8 +579,25 @@ class RecognitionPredictor(BasePredictor):
 
         while (
             queue or held is not None or pending is not None or inflight is not None
-            or any(p is not None for p in slot_prompt)
+            or any(p is not None for p in slot_prompt) or not feed_exhausted
         ):
+            # streaming: top up whenever the queue can no longer fill the
+            # largest prefill wave. Non-blocking while any work is in flight
+            # (the poll is a future.done() check); blocking only when the
+            # loop would otherwise spin idle waiting for the next group.
+            if not feed_exhausted and len(queue) < self.prefill_row_buckets[-1]:
+                idle = not (
+                    queue or held is not None or pending is not None
+                    or inflight is not None or any(p is not None for p in slot_prompt)
+                )
+                nxt = feeder(idle)
+                if nxt is FEED_DONE:
+                    feed_exhausted = True
+                elif nxt is not None:
+                    add_prompts(nxt, fit_check=True)
+                    # leftovers run in a follow-up loop with its own pbar
+                    pbar.total = len(predicted_tokens) - len(leftover_sink or ())
+                    pbar.refresh()
             frees = free_slots()
             if held is None and pending is not None:
                 # don't block on an unfinished build while active slots could
@@ -632,6 +705,14 @@ class RecognitionPredictor(BasePredictor):
         builder.shutdown(wait=True)
         pbar.close()
 
+        # observability: decoded-token volume for throughput accounting
+        # (bench reads this; stage timers cover the wall-clock split).
+        # Accumulates across loops within one __call__ (which resets it).
+        self.last_decoded_tokens = (
+            getattr(self, "last_decoded_tokens", 0) + sum(len(t) for t in predicted_tokens)
+        )
+
+        n = len(predicted_tokens)
         max_len = max((sum(b.shape[0] for b in bs) for bs in bboxes if bs), default=1)
         bbox_arr = np.zeros((n, max(max_len, 1), 6), np.float32)
         for i, bs in enumerate(bboxes):
@@ -742,6 +823,9 @@ class RecognitionPredictor(BasePredictor):
         assert all(t in self.tasks for t in task_names)
         assert len(images) == len(task_names)
 
+        # per-call decoded-token counter; every prediction_loop accumulates
+        self.last_decoded_tokens = 0
+
         images = convert_if_not_rgb(images)
         highres_images = (
             convert_if_not_rgb(highres_images) if highres_images is not None else [None] * len(images)
@@ -751,11 +835,12 @@ class RecognitionPredictor(BasePredictor):
             assert det_predictor is not None, "need a detection predictor or explicit boxes"
             G = settings.RECOGNITION_DET_PIPELINE_PAGES
             if G and len(images) > G:
-                # software pipeline: detect group i+1 in a worker thread while
-                # group i is recognized — detection's host postprocess/slicing
-                # overlaps recognition's device time and vice versa. Group
-                # results concatenate in order; per-group width sort keeps
-                # prefill rounds shape-homogeneous within each group.
+                # streaming pipeline: detection runs group by group in a
+                # worker thread and each finished group FEEDS THE LIVE
+                # continuous-batching run — one cache, no group-boundary
+                # drain (a per-group run pays a low-occupancy decode tail at
+                # every boundary), detection's host postprocess overlapping
+                # recognition's device time throughout.
                 spans = [(s, min(s + G, len(images))) for s in range(0, len(images), G)]
 
                 def detect_span(span):
@@ -766,23 +851,63 @@ class RecognitionPredictor(BasePredictor):
                         highres_images=highres_images[s:e],
                     )
 
-                results: List[OCRResult] = []
                 with ThreadPoolExecutor(max_workers=1) as det_worker:
-                    fut = det_worker.submit(detect_span, spans[0])
-                    for gi, span in enumerate(spans):
-                        flat = fut.result()
-                        if gi + 1 < len(spans):
-                            fut = det_worker.submit(detect_span, spans[gi + 1])
-                        results.extend(
-                            self._recognize_flat(
-                                images[span[0] : span[1]], flat,
-                                recognition_batch_size=recognition_batch_size,
-                                math_mode=math_mode, sort_lines=sort_lines,
-                                return_words=return_words,
-                                drop_repeated_text=drop_repeated_text,
-                            )
+                    first = det_worker.submit(detect_span, spans[0]).result()
+                    merged = {k: list(v) for k, v in first.items()}
+                    state = {"i": 1, "fut": det_worker.submit(detect_span, spans[1]) if len(spans) > 1 else None}
+
+                    def feeder(block):
+                        fut = state["fut"]
+                        if fut is None:
+                            return FEED_DONE
+                        if not block and not fut.done():
+                            return None
+                        f = fut.result()
+                        state["i"] += 1
+                        state["fut"] = (
+                            det_worker.submit(detect_span, spans[state["i"]])
+                            if state["i"] < len(spans) else None
                         )
-                return results
+                        for k in merged:
+                            merged[k].extend(f[k])
+                        return f
+
+                    leftovers: List[RecognitionPrompt] = []
+                    predicted_tokens, bbox_arr, scores = self.prediction_loop(
+                        first, recognition_batch_size=recognition_batch_size,
+                        math_mode=math_mode, feeder=feeder, leftover_sink=leftovers,
+                    )
+
+                if len(merged["slices"]) == 0:
+                    return [
+                        OCRResult(text_lines=[], image_bbox=[0, 0, img.size[0], img.size[1]])
+                        for img in images
+                    ]
+                if leftovers:
+                    # prompts that didn't fit the first-group-sized cache ran
+                    # nowhere yet: a follow-up loop, spliced back by id
+                    sub = {
+                        "slices": [p.image for p in leftovers],
+                        "input_text": [p.text for p in leftovers],
+                        "task_names": [p.task_name for p in leftovers],
+                    }
+                    lt_toks, lt_bbox, lt_scores = self.prediction_loop(
+                        sub, recognition_batch_size=recognition_batch_size, math_mode=math_mode
+                    )
+                    if lt_bbox.shape[1] > bbox_arr.shape[1]:
+                        bbox_arr = np.pad(
+                            bbox_arr, ((0, 0), (0, lt_bbox.shape[1] - bbox_arr.shape[1]), (0, 0))
+                        )
+                    for j, p in enumerate(leftovers):
+                        predicted_tokens[p.id] = lt_toks[j]
+                        scores[p.id] = lt_scores[j]
+                        bbox_arr[p.id, : lt_bbox.shape[1]] = lt_bbox[j]
+
+                return self._assemble_results(
+                    images, merged, predicted_tokens, scores, bbox_arr,
+                    sort_lines=sort_lines, return_words=return_words,
+                    drop_repeated_text=drop_repeated_text,
+                )
             flat = self.detect_and_slice_bboxes(
                 images, task_names, det_predictor,
                 detection_batch_size=detection_batch_size, highres_images=highres_images,
@@ -811,25 +936,29 @@ class RecognitionPredictor(BasePredictor):
                 for img in images
             ]
 
-        # longest lines first: keeps prefill rounds shape-homogeneous
-        order = sorted(range(len(flat["slices"])), key=lambda i: -flat["slices"][i].shape[1])
-        flat["slices"] = [flat["slices"][i] for i in order]
-        flat["input_text"] = [flat["input_text"][i] for i in order]
-        flat["task_names"] = [flat["task_names"][i] for i in order]
-
+        # prediction_loop enqueues width-sorted internally; its outputs are
+        # id-aligned with flat's natural order
         predicted_tokens, bbox_arr, scores = self.prediction_loop(
             flat, recognition_batch_size=recognition_batch_size, math_mode=math_mode
         )
+        return self._assemble_results(
+            images, flat, predicted_tokens, scores, bbox_arr,
+            sort_lines=sort_lines, return_words=return_words,
+            drop_repeated_text=drop_repeated_text,
+        )
 
+    def _assemble_results(
+        self, images, flat, predicted_tokens, scores, bbox_arr, *,
+        sort_lines=False, return_words=False, drop_repeated_text=False,
+    ) -> List[OCRResult]:
+        """Detokenize + per-page assembly. All flat lists, predicted_tokens,
+        scores and bbox_arr rows must be in the same (natural) order."""
         bbox_size = self.config.bbox_size
         image_sizes = [img.shape for img in flat["slices"]]
         predicted_polygons = prediction_to_polygon_batch(bbox_arr, image_sizes, bbox_size, bbox_size // 2)
         char_predictions = self.get_bboxes_text(
             flat, predicted_tokens, scores, predicted_polygons, drop_repeated_text=drop_repeated_text
         )
-
-        # undo the width sort
-        char_predictions = [p for _, p in sorted(zip(order, char_predictions), key=lambda x: x[0])]
 
         results = []
         slice_start = 0
