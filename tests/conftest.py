@@ -41,6 +41,14 @@ jax.config.update("jax_platforms", "cpu")
 # instantiate the reference models with random weights.
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "_stubs"))
 
+# Decode budgets for the whole suite: chunked decode scans run their FULL
+# static step count per dispatch regardless of active slots, and the task
+# default budget is 224 tokens — at tiny-model/virtual-mesh execution speeds
+# on this 1-cpu box that made decode loops dominate suite wall-clock. Tests
+# that need specific budgets set these themselves.
+os.environ.setdefault("RECOGNITION_MAX_TOKENS", "16")
+os.environ.setdefault("RECOGNITION_DECODE_CHUNK", "16")
+
 import pytest  # noqa: E402
 from PIL import Image, ImageDraw  # noqa: E402
 

@@ -36,7 +36,13 @@ def test_folder_loading(image_folder):
 
 
 def test_detect_text_cli(image_folder, tmp_path, monkeypatch):
+    import surya_tpu.scripts.detect_text as dt
+    from surya_tpu.detection import DetectionPredictor
     from surya_tpu.scripts.detect_text import detect_text_cli
+
+    # CLI plumbing is what's under test — the tiny model cuts the full-size
+    # EfficientViT compile (~40s on this 1-cpu box) out of the suite
+    monkeypatch.setattr(dt, "DetectionPredictor", lambda *a, **k: DetectionPredictor(tiny=True))
 
     out_dir = tmp_path / "results"
     runner = CliRunner()

@@ -89,6 +89,107 @@ def test_pipeline_empty_group(tiny_pipeline):
         assert len(r.text_lines) > 0
 
 
+def test_streaming_feeder_and_leftovers(tiny_pipeline):
+    """prediction_loop with a feeder: later groups join the live run, and a
+    prompt whose sequence bound exceeds the first-group-sized cache lands in
+    the leftover sink (empty outputs in the main run)."""
+    from surya_tpu.recognition import FEED_DONE
+    from surya_tpu.settings import settings
+
+    _, rec = tiny_pipeline
+    rng = np.random.default_rng(0)
+    small = (rng.random((20, 80, 3)) * 255).astype(np.float32)
+    # tall+wide block: prompt bound must overflow the small-prompt cache
+    big = (rng.random((600, 2000, 3)) * 255).astype(np.float32)
+
+    img_size = rec.tasks["ocr_with_boxes"]["img_size"]
+    est_small = rec.processor.prompt_len_bound(small.shape, img_size, "ocr_with_boxes", None, True)
+    est_big = rec.processor.prompt_len_bound(big.shape, img_size, "ocr_with_boxes", None, True)
+    bucket = next((b for b in rec.seq_buckets if b >= est_small), rec.seq_buckets[-1])
+    cache_len = -(-(bucket + 8) // 256) * 256
+    assert est_big + 8 > cache_len, (
+        "test premise: the big slice must overflow the first-group cache "
+        f"(est_big={est_big}, cache_len={cache_len})"
+    )
+
+    old_max = settings.RECOGNITION_MAX_TOKENS
+    settings.RECOGNITION_MAX_TOKENS = 8
+    try:
+        flat1 = {"slices": [small], "input_text": [None], "task_names": ["ocr_with_boxes"]}
+        flat2 = {
+            "slices": [big, small.copy()],
+            "input_text": [None, None],
+            "task_names": ["ocr_with_boxes"] * 2,
+        }
+        state = {"sent": False}
+
+        def feeder(block):
+            if state["sent"]:
+                return FEED_DONE
+            state["sent"] = True
+            return flat2
+
+        leftovers = []
+        toks, bbox_arr, scs = rec.prediction_loop(
+            flat1, math_mode=True, feeder=feeder, leftover_sink=leftovers
+        )
+    finally:
+        settings.RECOGNITION_MAX_TOKENS = old_max
+
+    assert len(toks) == 3 == bbox_arr.shape[0]
+    assert [p.id for p in leftovers] == [1]
+    assert toks[1] == [] and len(toks[0]) > 0 and len(toks[2]) > 0
+
+
+def test_streaming_call_splices_leftovers(tiny_pipeline, monkeypatch):
+    """End-to-end streaming path with a leftover: results must equal the
+    sequential path's line for line (the follow-up loop splices back by id)."""
+    from surya_tpu.settings import settings
+
+    _, rec = tiny_pipeline
+    rng = np.random.default_rng(1)
+    pages = [Image.new("RGB", (640, 360), "white") for _ in range(4)]
+    poly = [[5, 5], [200, 5], [200, 40], [5, 40]]
+    per_page = [
+        [(rng.random((20, 80, 3)) * 255).astype(np.float32)],
+        [(rng.random((20, 120, 3)) * 255).astype(np.float32)],
+        [(rng.random((600, 2000, 3)) * 255).astype(np.float32)],  # leftover
+        [(rng.random((20, 80, 3)) * 255).astype(np.float32)],
+    ]
+    page_idx = {id(p): i for i, p in enumerate(pages)}
+
+    def fake_detect(images, task_names, det_predictor, detection_batch_size=None, highres_images=None):
+        slices, smap, polys, tasks, texts, scales = [], [], [], [], [], []
+        for img, task in zip(images, task_names):
+            s = per_page[page_idx[id(img)]]
+            smap.append(len(s))
+            slices.extend(a.copy() for a in s)
+            polys.extend([poly] * len(s))
+            tasks.extend([task] * len(s))
+            texts.extend([None] * len(s))
+            scales.extend([(1, 1)] * len(s))
+        return {
+            "slices": slices, "slice_map": smap, "polygons": polys,
+            "task_names": tasks, "input_text": texts, "res_scales": scales,
+        }
+
+    monkeypatch.setattr(rec, "detect_and_slice_bboxes", fake_detect)
+
+    old_g, old_max = settings.RECOGNITION_DET_PIPELINE_PAGES, settings.RECOGNITION_MAX_TOKENS
+    settings.RECOGNITION_MAX_TOKENS = 8
+    try:
+        settings.RECOGNITION_DET_PIPELINE_PAGES = 0
+        seq = rec(pages, det_predictor=object())
+        settings.RECOGNITION_DET_PIPELINE_PAGES = 2
+        piped = rec(pages, det_predictor=object())
+    finally:
+        settings.RECOGNITION_DET_PIPELINE_PAGES = old_g
+        settings.RECOGNITION_MAX_TOKENS = old_max
+
+    assert _flatten(piped) == _flatten(seq)
+    assert all(len(r.text_lines) == 1 for r in piped)
+
+
 def test_all_blank_pages_same_shape_both_paths(tiny_pipeline):
     """Zero detected lines still yields one empty OCRResult per page on BOTH
     the sequential and pipelined paths — the result list must never shrink
