@@ -316,14 +316,20 @@ class RecognitionPredictor(BasePredictor):
     # -- the scheduler -------------------------------------------------------
 
     def prediction_loop(self, flat: dict, recognition_batch_size=None, math_mode=True,
-                        feeder=None, leftover_sink=None):
+                        feeder=None, leftover_sink=None, on_done=None,
+                        prompt_bound_override=None):
         """Continuous-batching scheduler. With `feeder`, the prompt set is a
         STREAM: feeder(block) returns the next group's flat dict when ready,
         None when not ready yet (block=False only), or FEED_DONE when
         exhausted — new prompts join the live run (one cache, no group-
         boundary drain). Prompt ids are assigned in arrival order, so outputs
         align with the caller's concatenated flat lists; the enqueue order is
-        width-sorted per group to keep prefill rounds shape-homogeneous."""
+        width-sorted per group to keep prefill rounds shape-homogeneous.
+
+        `on_done(pid, tokens, scores, bbox_arr)` fires the moment a prompt
+        completes (serving hook — see `stream()`); `prompt_bound_override`
+        forces the cache prompt area to at least that many tokens so a
+        stream's later prompts always fit (no leftovers)."""
         if feeder is not None and leftover_sink is None:
             leftover_sink = []
 
@@ -387,7 +393,7 @@ class RecognitionPredictor(BasePredictor):
         # cache every step, so S is pure bandwidth — size it to the longest
         # possible prompt bucket + generation budget for THIS workload
         # instead of the model's absolute max
-        max_prompt = 0
+        max_prompt = int(prompt_bound_override or 0)
         for p in queue:
             img_size = self.tasks[p.task_name]["img_size"]
             # exact scale_to_fit + tiling arithmetic on the actual crop — the
@@ -446,11 +452,18 @@ class RecognitionPredictor(BasePredictor):
             already stopped this slot (it emitted EOS/pad); otherwise the stop
             is host-only (budget/repeat) and must be sent down as a kill mask
             with the next dispatch."""
+            pid = slot_prompt[slot]
             slot_prompt[slot] = None
             host_active[slot] = False
             if not device_knows:
                 pending_kill[slot] = True
             pbar.update(1)
+            if on_done is not None:
+                bb = bboxes[pid]
+                on_done(
+                    pid, predicted_tokens[pid], scores[pid],
+                    np.concatenate(bb, axis=0) if bb else np.zeros((0, 6), np.float32),
+                )
 
         def process_decode(packed):
             # vectorized stop-scan over the [slots, K] chunk: Python runs only
@@ -925,6 +938,224 @@ class RecognitionPredictor(BasePredictor):
             drop_repeated_text=drop_repeated_text,
         )
 
+    def stream(
+        self,
+        images,
+        det_predictor,
+        task_names=None,
+        detection_batch_size: Optional[int] = None,
+        recognition_batch_size: Optional[int] = None,
+        group_pages: Optional[int] = None,
+        math_mode: bool = True,
+        sort_lines: bool = False,
+        return_words: bool = False,
+        drop_repeated_text: bool = False,
+    ):
+        """Serve a page STREAM: yields (index, OCRResult) in input order, each
+        as soon as its page's lines finish decoding. `images` may be any
+        iterable, including an unbounded generator — detection of later groups
+        and recognition of earlier ones overlap throughout one live
+        continuous-batching run, and a page's host memory is released once its
+        result is yielded. Each yielded OCRResult matches what a batch
+        `__call__` on that page returns (the reference has no streaming
+        surface; its closest flow is surya/recognition/__init__.py:773-942).
+
+        `task_names` may be an iterable parallel to `images`; default
+        ocr_with_boxes."""
+        import queue as queue_mod
+
+        G = group_pages or settings.RECOGNITION_DET_PIPELINE_PAGES or 4
+        self.last_decoded_tokens = 0
+
+        img_iter = iter(images)
+        task_iter = iter(task_names) if task_names is not None else None
+
+        def next_group():
+            pages, tasks = [], []
+            for img in img_iter:
+                pages.append(img)
+                tasks.append(next(task_iter) if task_iter else TaskNames.ocr_with_boxes)
+                if len(pages) >= G:
+                    break
+            return pages, tasks
+
+        # cache prompt area sized once for the whole stream: the largest
+        # prompt each seen task allows (a crop never exceeds its task's
+        # img_size budget), so later prompts always fit the live cache
+        def task_bound(tasks):
+            bound = 0
+            for t in set(tasks):
+                w, h = self.tasks[t]["img_size"]
+                bound = max(bound, self.processor.prompt_len_bound((h, w, 3), (w, h), t, None, math_mode))
+            return bound
+
+        def detect_group(pages, tasks):
+            pages = convert_if_not_rgb(pages)
+            return self.detect_and_slice_bboxes(
+                pages, tasks, det_predictor,
+                detection_batch_size=detection_batch_size,
+                highres_images=[None] * len(pages),
+            ), pages
+
+        evq: "queue_mod.Queue" = queue_mod.Queue()
+
+        def push_pages(flat, pages, tasks):
+            """Split a group flat into per-page records (consumed by the main
+            thread BEFORE any of their prompts can complete)."""
+            recs, start = [], 0
+            for i, img in enumerate(pages):
+                n = flat["slice_map"][i]
+                recs.append({
+                    "image": img,
+                    "slices": flat["slices"][start : start + n],
+                    "polygons": flat["polygons"][start : start + n],
+                    "task_names": flat["task_names"][start : start + n],
+                    "input_text": flat["input_text"][start : start + n],
+                    "res_scales": flat["res_scales"][start : start + n],
+                    "n": n,
+                })
+                start += n
+            evq.put(("pages", recs))
+
+        first_pages, first_tasks = next_group()
+        if not first_pages:
+            return
+        bound = task_bound(first_tasks)
+        first_flat, first_pages = detect_group(first_pages, first_tasks)
+        push_pages(first_flat, first_pages, first_tasks)
+
+        leftovers: List[RecognitionPrompt] = []
+        det_worker = ThreadPoolExecutor(max_workers=1)
+        state = {"fut": None}
+        nxt_pages, nxt_tasks = next_group()
+        if nxt_pages:
+            state["fut"] = det_worker.submit(detect_group, nxt_pages, nxt_tasks)
+            state["tasks"] = nxt_tasks
+
+        def feeder(block):
+            fut = state["fut"]
+            if fut is None:
+                return FEED_DONE
+            if not block and not fut.done():
+                return None
+            flat, pages = fut.result()
+            tasks = state["tasks"]
+            p2, t2 = next_group()
+            if p2:
+                state["fut"] = det_worker.submit(detect_group, p2, t2)
+                state["tasks"] = t2
+            else:
+                state["fut"] = None
+            push_pages(flat, pages, tasks)
+            return flat
+
+        def on_done(pid, tokens, pscores, bbox2d):
+            evq.put(("done", pid, list(tokens), list(pscores), bbox2d))
+
+        def run_loop():
+            try:
+                self.prediction_loop(
+                    first_flat, recognition_batch_size=recognition_batch_size,
+                    math_mode=math_mode, feeder=feeder, leftover_sink=leftovers,
+                    on_done=on_done, prompt_bound_override=bound,
+                )
+                evq.put(("end", None))
+            except BaseException as e:  # surfaced in the consumer thread
+                evq.put(("end", e))
+
+        loop_thread = ThreadPoolExecutor(max_workers=1)
+        loop_fut = loop_thread.submit(run_loop)
+
+        # -- consumer: assemble + yield pages in order as they complete ------
+        page_recs: List[dict] = []
+        pid_map: List[tuple] = []  # pid -> (page_idx, local_idx)
+        outputs: dict = {}  # pid -> (tokens, scores, bbox2d)
+        next_yield = 0
+        ended = False
+
+        def page_ready(p):
+            rec = page_recs[p]
+            return rec is not None and all(
+                (pid in outputs) for pid in rec["pids"]
+            )
+
+        def assemble(p):
+            rec = page_recs[p]
+            n = rec["n"]
+            flat_page = {k: rec[k] for k in ("slices", "polygons", "task_names", "input_text", "res_scales")}
+            flat_page["slice_map"] = [n]
+            toks = [outputs[pid][0] for pid in rec["pids"]]
+            scs = [outputs[pid][1] for pid in rec["pids"]]
+            L = max([b.shape[0] for _, _, b in (outputs[pid] for pid in rec["pids"])] + [1])
+            bbox_arr = np.zeros((n, L, 6), np.float32)
+            for i, pid in enumerate(rec["pids"]):
+                b = outputs[pid][2]
+                bbox_arr[i, : b.shape[0]] = b
+            [result] = self._assemble_results(
+                [rec["image"]], flat_page, toks, scs, bbox_arr,
+                sort_lines=sort_lines, return_words=return_words,
+                drop_repeated_text=drop_repeated_text,
+            )
+            for pid in rec["pids"]:
+                outputs.pop(pid, None)
+            page_recs[p] = None  # release page memory
+            return result
+
+        try:
+            while True:
+                while not ended:
+                    try:
+                        ev = evq.get(timeout=0.05)
+                    except queue_mod.Empty:
+                        if next_yield < len(page_recs) and page_ready(next_yield):
+                            break
+                        continue
+                    if ev[0] == "pages":
+                        for rec in ev[1]:
+                            base = len(pid_map)
+                            rec["pids"] = list(range(base, base + rec["n"]))
+                            for j in range(rec["n"]):
+                                pid_map.append((len(page_recs), j))
+                            page_recs.append(rec)
+                    elif ev[0] == "done":
+                        outputs[ev[1]] = (ev[2], ev[3], ev[4])
+                    else:  # end
+                        if ev[1] is not None:
+                            raise ev[1]
+                        ended = True
+                        if leftovers:
+                            # mixed-task stream whose later prompts outgrew
+                            # the cache bound: finish them in a follow-up run
+                            sub = {
+                                "slices": [p.image for p in leftovers],
+                                "input_text": [p.text for p in leftovers],
+                                "task_names": [p.task_name for p in leftovers],
+                            }
+                            lt_toks, lt_bbox, lt_scores = self.prediction_loop(
+                                sub, recognition_batch_size=recognition_batch_size,
+                                math_mode=math_mode,
+                            )
+                            for j, p in enumerate(leftovers):
+                                outputs[p.id] = (lt_toks[j], lt_scores[j], lt_bbox[j])
+                    if next_yield < len(page_recs) and page_ready(next_yield):
+                        break
+                if next_yield >= len(page_recs):
+                    if ended:
+                        return
+                    continue
+                if not page_ready(next_yield):
+                    if ended:
+                        raise RuntimeError(
+                            f"stream ended with page {next_yield} incomplete (bug)"
+                        )
+                    continue
+                yield next_yield, assemble(next_yield)
+                next_yield += 1
+        finally:
+            loop_fut.cancel()
+            loop_thread.shutdown(wait=True)
+            det_worker.shutdown(wait=True)
+
     def _recognize_flat(
         self, images, flat, recognition_batch_size=None, math_mode=True,
         sort_lines=False, return_words=False, drop_repeated_text=False,
@@ -953,6 +1184,11 @@ class RecognitionPredictor(BasePredictor):
     ) -> List[OCRResult]:
         """Detokenize + per-page assembly. All flat lists, predicted_tokens,
         scores and bbox_arr rows must be in the same (natural) order."""
+        if len(flat["slices"]) == 0:
+            return [
+                OCRResult(text_lines=[], image_bbox=[0, 0, img.size[0], img.size[1]])
+                for img in images
+            ]
         bbox_size = self.config.bbox_size
         image_sizes = [img.shape for img in flat["slices"]]
         predicted_polygons = prediction_to_polygon_batch(bbox_arr, image_sizes, bbox_size, bbox_size // 2)

@@ -17,16 +17,29 @@ os.environ["PALLAS_AXON_POOL_IPS"] = ""  # for child processes
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 os.environ.setdefault("ALLOW_RANDOM_WEIGHTS", "true")
 
-# The test suite (and every CLI subprocess it spawns) gets its OWN fresh
-# persistent-compilation-cache dir: sharing the user cache let a killed test
-# run leave a truncated artifact that poisoned later processes (reproduced in
-# the round-3 review: test_cli.py before test_device_postprocess.py failed
-# with "supplied 83 buffers but compiled program expected 86").
+# The test suite (and every CLI subprocess it spawns) gets its OWN
+# persistent-compilation-cache dir, separate from the user cache: sharing it
+# let a killed test run leave a truncated artifact that poisoned later
+# processes (reproduced in the round-3 review: test_cli.py before
+# test_device_postprocess.py failed with "supplied 83 buffers but compiled
+# program expected 86"). The dir is STABLE across runs (keyed by jax
+# version) so repeat runs skip recompiles — safe now that cache writes are
+# atomic (runtime._patch_atomic_cache_writes) and the separated-consts
+# fastpath corruption is guarded; no test wipes the real cache dir.
 import tempfile  # noqa: E402
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", tempfile.mkdtemp(prefix="surya-test-jaxcache-")
-)
+
+def _test_cache_dir() -> str:
+    import jax.version
+
+    d = os.path.join(
+        tempfile.gettempdir(), f"surya-test-jaxcache-{jax.version.__version__}"
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _test_cache_dir())
 
 # A TPU-tunnel plugin in this image (axon sitecustomize) force-selects its
 # platform at interpreter start, silently ignoring JAX_PLATFORMS=cpu — tests
@@ -48,6 +61,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "_stubs"))
 # that need specific budgets set these themselves.
 os.environ.setdefault("RECOGNITION_MAX_TOKENS", "16")
 os.environ.setdefault("RECOGNITION_DECODE_CHUNK", "16")
+# layout/table AR loops run to their box cap with random weights (no EOS)
+os.environ.setdefault("LAYOUT_MAX_BOXES", "16")
+os.environ.setdefault("TABLE_REC_MAX_BOXES", "24")
 
 import pytest  # noqa: E402
 from PIL import Image, ImageDraw  # noqa: E402

@@ -190,6 +190,32 @@ def test_streaming_call_splices_leftovers(tiny_pipeline, monkeypatch):
     assert all(len(r.text_lines) == 1 for r in piped)
 
 
+def test_stream_matches_batch(tiny_pipeline):
+    """stream() must yield (index, OCRResult) in input order, each equal to
+    the batch __call__ result for the same page — including from a generator
+    input with a blank page mid-stream."""
+    from surya_tpu.settings import settings
+
+    det, rec = tiny_pipeline
+    pages = _pages(4)
+    pages.insert(2, Image.new("RGB", (640, 360), "white"))  # blank page
+
+    old_max = settings.RECOGNITION_MAX_TOKENS
+    old_g = settings.RECOGNITION_DET_PIPELINE_PAGES
+    settings.RECOGNITION_MAX_TOKENS = 8
+    try:
+        settings.RECOGNITION_DET_PIPELINE_PAGES = 0
+        batch = rec([p.copy() for p in pages], det_predictor=det)
+        streamed = list(rec.stream((p.copy() for p in pages), det, group_pages=2))
+    finally:
+        settings.RECOGNITION_MAX_TOKENS = old_max
+        settings.RECOGNITION_DET_PIPELINE_PAGES = old_g
+
+    assert [i for i, _ in streamed] == list(range(len(pages)))
+    assert _flatten([r for _, r in streamed]) == _flatten(batch)
+    assert len(streamed[2][1].text_lines) == 0  # the blank page
+
+
 def test_all_blank_pages_same_shape_both_paths(tiny_pipeline):
     """Zero detected lines still yields one empty OCRResult per page on BOTH
     the sequential and pipelined paths — the result list must never shrink
