@@ -38,7 +38,19 @@ def _machine_fingerprint() -> str:
         # "Features"): fall back to the coarse platform identity so the
         # fingerprint never degrades to jax-version-only
         flags = f"{platform.machine()}|{platform.platform()}"
-    return hashlib.sha1(f"{jax.__version__}|{flags}".encode()).hexdigest()[:12]
+    # platform selection changes XLA's CPU target preferences (observed:
+    # tunnel-attached vs forced-cpu processes on one host produce AOT
+    # artifacts with mismatched +prefer-no-scatter/gather machine features,
+    # logging "machine type ... doesn't match ... could lead to SIGILL" when
+    # they share a dir) — salt the fingerprint with it
+    try:
+        platforms = jax.config.jax_platforms or "auto"
+    except Exception:
+        platforms = "auto"
+    plugin = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+    return hashlib.sha1(
+        f"{jax.__version__}|{flags}|{platforms}|{plugin}".encode()
+    ).hexdigest()[:12]
 
 
 def _reap_stale_caches(current: Path, keep: int = 3) -> None:
