@@ -216,6 +216,59 @@ def test_stream_matches_batch(tiny_pipeline):
     assert len(streamed[2][1].text_lines) == 0  # the blank page
 
 
+def test_stream_mixed_task_leftovers(tiny_pipeline, monkeypatch):
+    """A later-group task whose prompt bound exceeds the stream's cache bound
+    routes to the leftover follow-up at stream end; in-order yielding and
+    per-page results must survive."""
+    from surya_tpu.settings import settings
+
+    det, rec = tiny_pipeline
+    rng = np.random.default_rng(3)
+    pages = [Image.new("RGB", (640, 360), "white") for _ in range(4)]
+    small = (rng.random((20, 80, 3)) * 255).astype(np.float32)
+    big = (rng.random((600, 2000, 3)) * 255).astype(np.float32)
+    per_page = [[small], [small.copy()], [big], [small.copy()]]
+    poly = [[5, 5], [200, 5], [200, 40], [5, 40]]
+    page_idx = {id(p): i for i, p in enumerate(pages)}
+
+    def fake_detect(images, task_names, det_predictor, detection_batch_size=None, highres_images=None):
+        slices, smap, polys, tasks, texts, scales = [], [], [], [], [], []
+        for img, task in zip(images, task_names):
+            s = per_page[page_idx[id(img)]]
+            smap.append(len(s))
+            slices.extend(a.copy() for a in s)
+            polys.extend([poly] * len(s))
+            tasks.extend([task] * len(s))
+            texts.extend([None] * len(s))
+            scales.extend([(1, 1)] * len(s))
+        return {
+            "slices": slices, "slice_map": smap, "polygons": polys,
+            "task_names": tasks, "input_text": texts, "res_scales": scales,
+        }
+
+    monkeypatch.setattr(rec, "detect_and_slice_bboxes", fake_detect)
+
+    old_max = settings.RECOGNITION_MAX_TOKENS
+    settings.RECOGNITION_MAX_TOKENS = 8
+    try:
+        # force a small stream bound: pretend the task's budget image is tiny
+        orig_bound = rec.processor.prompt_len_bound
+
+        def patched_bound(shape, img_size, task, text, math_mode):
+            if shape == (img_size[1], img_size[0], 3):
+                return orig_bound(small.shape, img_size, task, text, math_mode)
+            return orig_bound(shape, img_size, task, text, math_mode)
+
+        monkeypatch.setattr(rec.processor, "prompt_len_bound", patched_bound)
+        streamed = list(rec.stream(iter(pages), det, group_pages=2))
+    finally:
+        settings.RECOGNITION_MAX_TOKENS = old_max
+
+    assert [i for i, _ in streamed] == [0, 1, 2, 3]
+    assert all(len(r.text_lines) == 1 for _, r in streamed)
+    assert all(isinstance(r.text_lines[0].text, str) for _, r in streamed)
+
+
 def test_all_blank_pages_same_shape_both_paths(tiny_pipeline):
     """Zero detected lines still yields one empty OCRResult per page on BOTH
     the sequential and pipelined paths — the result list must never shrink
