@@ -199,7 +199,13 @@ def measure():
     boxes_per_page = sum(len(r.bboxes) for r in det_results) / len(det_results)
     polys = [[b.polygon for b in r.bboxes] for r in det_results]
     record(boxes_per_page=round(boxes_per_page, 1))
-    rec(pages, det_predictor=det)  # warm (compiles every bucket the trial hits)
+    # warm BOTH queue regimes: the polygons path fills the queue completely
+    # (deep-queue waves hit the largest patch-cap bucket — the det-starved
+    # pipeline warm alone systematically missed it, costing trial 0 ~50s of
+    # compiles in BOTH r4 validation runs), then the pipeline path compiles
+    # the streaming shapes
+    rec(pages, polygons=polys)
+    rec(pages, det_predictor=det)
 
     def timed(fn):
         profiling.report(reset=True)
