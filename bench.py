@@ -366,6 +366,43 @@ def measure():
         finally:
             settings.RECOGNITION_MAX_TOKENS = cap
 
+    # layout / table-rec headline speed splits (reference: 0.13 s/image
+    # layout on A10, 0.302 s/image table rec — BASELINE.md). Random weights
+    # run the AR box loops to their caps (real checkpoints stop at EOS
+    # earlier), so these are UPPER bounds on time per image.
+    if budget_left() > 500:
+        try:
+            from surya_tpu.layout import LayoutPredictor
+
+            lay = LayoutPredictor()
+            lay_pages = pages[:8]
+            lay(lay_pages)  # warm
+            t0 = time.time()
+            lay(lay_pages)
+            lay_s = (time.time() - t0) / len(lay_pages)
+            record(layout_s_per_image=round(lay_s, 4))
+            print(f"# trial layout: {lay_s:.3f}s/image", file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"# layout split failed: {e}", file=sys.stderr, flush=True)
+    else:
+        print("# skipping layout split (budget)", file=sys.stderr, flush=True)
+    if budget_left() > 400:
+        try:
+            from surya_tpu.table_rec import TableRecPredictor
+
+            tr = TableRecPredictor()
+            crops = [p.crop((100, 100, 868, 868)) for p in pages[:4]]
+            tr(crops)  # warm
+            t0 = time.time()
+            tr(crops)
+            tr_s = (time.time() - t0) / len(crops)
+            record(table_rec_s_per_image=round(tr_s, 4))
+            print(f"# trial table_rec: {tr_s:.3f}s/image", file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"# table_rec split failed: {e}", file=sys.stderr, flush=True)
+    else:
+        print("# skipping table_rec split (budget)", file=sys.stderr, flush=True)
+
     # int8-weights split: fresh predictor with RECOGNITION_WEIGHT_QUANTIZE
     # (verifies the claimed decode bandwidth win on hardware). Most expensive
     # (full recompile), so last and budget-gated.
