@@ -367,9 +367,11 @@ def measure():
             settings.RECOGNITION_MAX_TOKENS = cap
 
     # layout / table-rec headline speed splits (reference: 0.13 s/image
-    # layout on A10, 0.302 s/image table rec — BASELINE.md). Random weights
-    # run the AR box loops to their caps (real checkpoints stop at EOS
-    # earlier), so these are UPPER bounds on time per image.
+    # layout on A10, 0.302 s/image table rec — BASELINE.md). Layout's random
+    # weights run the AR box loop to its cap (real checkpoints stop at EOS
+    # earlier), so that one is an UPPER bound on time per image; table rec
+    # pins a realistic 14-row x 8-col table via install_synthetic_tables
+    # (random-weight category argmax is host-unstable: 0 rows or cap-bound).
     if budget_left() > 500:
         try:
             from surya_tpu.layout import LayoutPredictor
@@ -388,9 +390,10 @@ def measure():
         print("# skipping layout split (budget)", file=sys.stderr, flush=True)
     if budget_left() > 400:
         try:
-            from surya_tpu.table_rec import TableRecPredictor
+            from surya_tpu.table_rec import TableRecPredictor, install_synthetic_tables
 
             tr = TableRecPredictor()
+            install_synthetic_tables(tr)
             crops = [p.crop((100, 100, 868, 868)) for p in pages[:4]]
             tr(crops)  # warm
             t0 = time.time()

@@ -187,14 +187,30 @@ def decode_chunk(
     num_steps: int,
     use_pallas=None,  # None = auto; False forces the jnp attention path
     mesh=None,  # shard_map the decode kernel over this mesh (multi-chip)
+    run=None,  # [B] int32 consecutive-equal-token run length (device repeat stop)
+    repeat_window: int = 0,  # stop a slot once run >= window (0 = disabled)
 ):
     """Run up to num_steps greedy decode steps entirely on device.
 
     A slot stops when it emits EOS/PAD (its emitted token is still recorded,
     matching the reference loop). Exits early once every slot is done.
+
+    Device repeat stop: when ``run``/``repeat_window`` are given, a slot also
+    stops once it has emitted ``repeat_window`` identical tokens in a row —
+    the uniq=1 (pure collapse) case of the host chunk_stop_scan heuristic
+    (recognition/util.py:90-127; reference detect_repeat_token,
+    surya/recognition/__init__.py:583-595). The host scan still runs and
+    catches period-2..5 repeats one dispatch later via the kill mask; firing
+    the dominant case on device lets the chunk while_loop exit early instead
+    of decoding tokens the host will discard. ``run`` threads through the
+    scheduler's device state like last_token/active; a slot's run seeds to 1
+    at prefill (token 0).
+
     Returns (cache, tokens [B, K], scores [B, K], bboxes [B, K, 6],
-    last_token [B], active [B]).
+    last_token [B], active [B]) — plus run [B] when ``run`` was given.
     """
+    track_run = run is not None
+    run_state = run if track_run else jnp.zeros(last_token.shape, jnp.int32)
     B = last_token.shape[0]
     K = num_steps
     dec = config.decoder
@@ -222,7 +238,7 @@ def decode_chunk(
         return (step < K) & jnp.any(active)
 
     def body(state):
-        step, chunk_k, chunk_v, advance, last_token, active, tokens_buf, scores_buf, bbox_buf = state
+        step, chunk_k, chunk_v, advance, last_token, active, run_state, tokens_buf, scores_buf, bbox_buf = state
         emb = nn.embedding(params["token_embed"], last_token)
         chunk_k, chunk_v, hidden = qwen_decoder.decode_step_chunked(
             params["decoder"], dec, cache, chunk_k, chunk_v, emb, step, base_len,
@@ -237,13 +253,21 @@ def decode_chunk(
 
         advance = advance + active.astype(jnp.int32)
         next_active = active & ~emitted_done
+        # the stop-step token is recorded above with its score, exactly where
+        # the host scan cuts, so the host-visible output is unchanged
+        run_state = jnp.where(
+            active, jnp.where(token == last_token, run_state + 1, 1), run_state
+        )
+        if repeat_window:
+            next_active = next_active & (run_state < repeat_window)
         next_token = jnp.where(next_active, token, config.pad_token_id)
-        return step + 1, chunk_k, chunk_v, advance, next_token, next_active, tokens_buf, scores_buf, bbox_buf
+        return step + 1, chunk_k, chunk_v, advance, next_token, next_active, run_state, tokens_buf, scores_buf, bbox_buf
 
-    state = (0, chunk_k, chunk_v, advance, last_token, active, tokens_buf, scores_buf, bbox_buf)
-    _, chunk_k, chunk_v, advance, last_token, active, tokens_buf, scores_buf, bbox_buf = jax.lax.while_loop(cond, body, state)
+    state = (0, chunk_k, chunk_v, advance, last_token, active, run_state, tokens_buf, scores_buf, bbox_buf)
+    _, chunk_k, chunk_v, advance, last_token, active, run_state, tokens_buf, scores_buf, bbox_buf = jax.lax.while_loop(cond, body, state)
     cache = qwen_decoder.commit_chunk(cache, chunk_k, chunk_v, base_len, advance)
-    return cache, tokens_buf, scores_buf, bbox_buf, last_token, active
+    out = (cache, tokens_buf, scores_buf, bbox_buf, last_token, active)
+    return out + ((run_state,) if track_run else ())
 
 
 # -- checkpoint conversion ----------------------------------------------------

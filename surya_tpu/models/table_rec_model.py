@@ -145,7 +145,8 @@ def encode(params, config: TableRecConfig, pixel_values: jnp.ndarray) -> jnp.nda
     return donut_swin.apply(params["encoder"], config.encoder, pixel_values)
 
 
-def generate(params, config: TableRecConfig, encoder_hidden, input_vectors, seq_lens, max_steps: int):
+def generate(params, config: TableRecConfig, encoder_hidden, input_vectors, seq_lens, max_steps: int,
+             category_script=None):
     """AR decode for a batch of query prompts against (precomputed) encoder
     states. input_vectors: [B, L, 10] right-padded; seq_lens [B].
 
@@ -153,6 +154,15 @@ def generate(params, config: TableRecConfig, encoder_hidden, input_vectors, seq_
     :78-103): category/merges/is_header argmax shifted down by
     SPECIAL_TOKENS, bbox sigmoid*1024, colspan round(clamp(min=1)); stop on
     category EOS/PAD (pre-shift), done rows not recorded.
+
+    category_script: optional [max_steps] int32 of RAW (pre-shift) category
+    ids; entries >= 0 override the sampled category at that step (-1 keeps
+    the model's argmax). Benches/tests use it to pin the AR control flow to
+    a realistic table shape: with random weights the category logits sit
+    within float crumbs of zero, so the same seed flips between 0 rows and
+    cap-bound 150-step decodes across hosts (same rationale as
+    efficientvit.install_blob_detector). Every matmul of the production
+    program still runs.
 
     Returns dict of buffers: bbox [B, M, 6] f32, category/merges/is_header/
     colspan [B, M] i32 (already shifted down), valid [B, M] bool.
@@ -178,6 +188,8 @@ def generate(params, config: TableRecConfig, encoder_hidden, input_vectors, seq_
         out = _heads(params, config, hidden)
         bbox = out["bbox"] * BOX_DIM
         cat_raw = jnp.argmax(out["category"], axis=-1).astype(jnp.int32)
+        if category_script is not None:
+            cat_raw = jnp.where(category_script[i] >= 0, category_script[i], cat_raw)
         merges_raw = jnp.argmax(out["merges"], axis=-1).astype(jnp.int32)
         header_raw = jnp.argmax(out["is_header"], axis=-1).astype(jnp.int32)
         colspan = jnp.round(jnp.maximum(out["colspan"][..., 0], 1.0)).astype(jnp.int32)

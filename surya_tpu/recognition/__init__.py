@@ -149,14 +149,16 @@ class RecognitionPredictor(BasePredictor):
 
         nop_id = self.processor.no_output_token
 
-        def _seed_slots(last_token, active, tok, slot_idx, row_valid):
+        def _seed_slots(last_token, active, run, tok, slot_idx, row_valid):
             """Device-side mirror of the host's prefill bookkeeping: seed the
             newly filled slots' scheduler state from prefill token 0."""
             done0 = (tok == cfg.eos_token_id) | (tok == nop_id)
             lt_new = jnp.where((tok == cfg.eos_token_id) | (tok == cfg.pad_token_id), cfg.pad_token_id, tok)
             last_token = last_token.at[slot_idx].set(jnp.where(row_valid, lt_new, last_token[slot_idx]))
             active = active.at[slot_idx].set(jnp.where(row_valid, ~done0, active[slot_idx]))
-            return last_token, active
+            # prefill token 0 starts each slot's consecutive-equal run at 1
+            run = run.at[slot_idx].set(jnp.where(row_valid, 1, run[slot_idx]))
+            return last_token, active, run
 
         def _apply_kill(last_token, active, kill):
             """Host stop-scan corrections land one dispatch late (budget/
@@ -168,10 +170,10 @@ class RecognitionPredictor(BasePredictor):
         # through every dispatch, so chunk N+1 can launch before chunk N's
         # packed outputs are fetched — the fetch (a full tunnel round trip)
         # overlaps device compute instead of serializing the decode loop
-        @partial(jax.jit, donate_argnums=(1, 11, 12), static_argnames=("kv_range", "win_range"))
+        @partial(jax.jit, donate_argnums=(1, 11, 12, 13), static_argnames=("kv_range", "win_range"))
         def prefill_fn(params, cache, patches, enc_args, llm_h_idx, llm_w_idx,
                        input_ids, img_gather, seq_lens, slot_idx, row_valid,
-                       last_token, active, kill, kv_range, win_range):
+                       last_token, active, run, kill, kv_range, win_range):
             last_token, active = _apply_kill(last_token, active, kill)
             patches = processor.normalize_patch_rows(patches, settings.MODEL_DTYPE)
             cache, tok, score, bbox = foundation.prefill(
@@ -184,21 +186,22 @@ class RecognitionPredictor(BasePredictor):
             packed = jnp.concatenate(
                 [tok.astype(jnp.float32)[:, None], score[:, None], bbox.astype(jnp.float32)], axis=-1
             )
-            last_token, active = _seed_slots(last_token, active, tok, slot_idx, row_valid)
-            return cache, packed, last_token, active
+            last_token, active, run = _seed_slots(last_token, active, run, tok, slot_idx, row_valid)
+            return cache, packed, last_token, active, run
 
-        @partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(1, 2, 3))
-        def decode_fn(params, cache, last_token, active, kill, num_steps):
+        @partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(1, 2, 3, 4))
+        def decode_fn(params, cache, last_token, active, run, kill, num_steps):
             last_token, active = _apply_kill(last_token, active, kill)
-            cache, toks, scores, bboxes, last_token, active = foundation.decode_chunk(
-                params, cfg, cache, last_token, active, num_steps, use_pallas=use_pallas, mesh=mesh
+            cache, toks, scores, bboxes, last_token, active, run = foundation.decode_chunk(
+                params, cfg, cache, last_token, active, num_steps, use_pallas=use_pallas, mesh=mesh,
+                run=run, repeat_window=REPEAT_WINDOW,
             )
-            return cache, _pack(toks, scores, bboxes), last_token, active
+            return cache, _pack(toks, scores, bboxes), last_token, active, run
 
-        @partial(jax.jit, donate_argnums=(1, 11, 12), static_argnames=("kv_range", "win_range", "num_steps"))
+        @partial(jax.jit, donate_argnums=(1, 11, 12, 13), static_argnames=("kv_range", "win_range", "num_steps"))
         def prefill_decode_fn(params, cache, patches, enc_args, llm_h_idx, llm_w_idx,
                               input_ids, img_gather, seq_lens, slot_idx, row_valid,
-                              last_token, active, kill, kv_range, win_range, num_steps):
+                              last_token, active, run, kill, kv_range, win_range, num_steps):
             """Fused prefill + decode chunk: saves one dispatch per refill
             round when the scheduler knows decode comes next."""
             last_token, active = _apply_kill(last_token, active, kill)
@@ -211,11 +214,12 @@ class RecognitionPredictor(BasePredictor):
             prefill_packed = jnp.concatenate(
                 [tok.astype(jnp.float32)[:, None], score[:, None], bbox.astype(jnp.float32)], axis=-1
             )
-            last_token, active = _seed_slots(last_token, active, tok, slot_idx, row_valid)
-            cache, toks, scores, bboxes, last_token, active = foundation.decode_chunk(
-                params, cfg, cache, last_token, active, num_steps, use_pallas=use_pallas, mesh=mesh
+            last_token, active, run = _seed_slots(last_token, active, run, tok, slot_idx, row_valid)
+            cache, toks, scores, bboxes, last_token, active, run = foundation.decode_chunk(
+                params, cfg, cache, last_token, active, num_steps, use_pallas=use_pallas, mesh=mesh,
+                run=run, repeat_window=REPEAT_WINDOW,
             )
-            return cache, prefill_packed, _pack(toks, scores, bboxes), last_token, active
+            return cache, prefill_packed, _pack(toks, scores, bboxes), last_token, active, run
 
         self._prefill_fn = prefill_fn
         self._decode_fn = decode_fn
@@ -434,6 +438,7 @@ class RecognitionPredictor(BasePredictor):
 
         lt_dev = _to_dev(np.full(n_slots + 1, pad, np.int32))
         act_dev = _to_dev(np.zeros(n_slots + 1, bool))
+        run_dev = _to_dev(np.zeros(n_slots + 1, np.int32))  # device repeat-stop run lengths
         host_active = np.zeros(n_slots + 1, bool)
         pending_kill = np.zeros(n_slots + 1, bool)
 
@@ -675,14 +680,14 @@ class RecognitionPredictor(BasePredictor):
 
                     decode_packed = None
                     if fuse:
-                        cache, packed, decode_packed, lt_dev, act_dev = self._prefill_decode_fn(
-                            self.params, cache, *args, lt_dev, act_dev, kill,
+                        cache, packed, decode_packed, lt_dev, act_dev, run_dev = self._prefill_decode_fn(
+                            self.params, cache, *args, lt_dev, act_dev, run_dev, kill,
                             kv_range=layout.kv_range, win_range=layout.win_range,
                             num_steps=self.decode_chunk,
                         )
                     else:
-                        cache, packed, lt_dev, act_dev = self._prefill_fn(
-                            self.params, cache, *args, lt_dev, act_dev, kill,
+                        cache, packed, lt_dev, act_dev, run_dev = self._prefill_fn(
+                            self.params, cache, *args, lt_dev, act_dev, run_dev, kill,
                             kv_range=layout.kv_range, win_range=layout.win_range,
                         )
                     # dispatch is in flight: build the NEXT wave on the host
@@ -706,8 +711,8 @@ class RecognitionPredictor(BasePredictor):
                 # -- decode chunk: K tokens fully on device; dispatch chunk
                 # N+1 BEFORE fetching chunk N's outputs --
                 with stage("recognition.decode"):
-                    cache, packed, lt_dev, act_dev = self._decode_fn(
-                        self.params, cache, lt_dev, act_dev, take_kill(),
+                    cache, packed, lt_dev, act_dev, run_dev = self._decode_fn(
+                        self.params, cache, lt_dev, act_dev, run_dev, take_kill(),
                         num_steps=self.decode_chunk,
                     )
                 drain_inflight()

@@ -136,6 +136,9 @@ class Settings(BaseModel):
     TABLE_REC_IMAGE_SIZE: Dict = {"height": 768, "width": 768}
     TABLE_REC_MAX_BOXES: int = 150
     TABLE_REC_BATCH_SIZE: Optional[int] = None
+    # widest generate dispatch for the cell pass (pass 2): the tiny ADETR
+    # decoder is latency-bound, so batching row queries wide cuts dispatches
+    TABLE_REC_CELL_BATCH_MAX: int = 128
     TABLE_REC_BENCH_DATASET_NAME: str = "datalab-to/fintabnet_bench"
 
     # Texify

@@ -43,6 +43,32 @@ IMAGE_STD = 0.5
 PROMPT_BUCKETS = (4, 8, 16, 32, 64, 128)
 
 
+def install_synthetic_tables(tr: "TableRecPredictor", n_rows: int = 14, n_cols: int = 8,
+                             n_cells: int = 8) -> None:
+    """Pin a random-weight TableRecPredictor's AR control flow to a realistic
+    table shape (n_rows rows + n_cols columns, n_cells spanning-cell
+    candidates per row) via per-step category-script overrides.
+
+    Untrained category logits sit within float crumbs of zero, so the same
+    seed flips between 0 rows and cap-bound max_boxes-step decodes across
+    hosts — useless for benchmarking. The script drives the published
+    workload shape while every matmul of the production program still runs
+    (same rationale as efficientvit.install_blob_detector). bbox values stay
+    model-sampled; only the category stream is pinned."""
+    cfg = tr.config
+    M = cfg.max_boxes
+    row_raw = CATEGORY_TO_ID["Table-row"] + table_rec_model.SPECIAL_TOKENS
+    col_raw = CATEGORY_TO_ID["Table-column"] + table_rec_model.SPECIAL_TOKENS
+    cell_raw = CATEGORY_TO_ID["Table-cell"] + table_rec_model.SPECIAL_TOKENS
+    rowcol = np.full((M,), cfg.eos_token_id, np.int32)
+    rowcol[:n_rows] = row_raw
+    rowcol[n_rows : n_rows + n_cols] = col_raw
+    cells = np.full((M,), cfg.eos_token_id, np.int32)
+    cells[:n_cells] = cell_raw
+    tr._script_rowcol = rowcol
+    tr._script_cells = cells
+
+
 def resize_polygon(polygon, orig_size, new_size):
     """Scale + clamp a polygon between coordinate spaces (reference
     table_rec/processor.py:29-46)."""
@@ -77,8 +103,15 @@ class TableRecPredictor(BasePredictor):
         from functools import partial
 
         @partial(jax.jit, static_argnames=("max_steps",))
-        def generate(params, enc_states, input_vectors, seq_lens, max_steps):
-            bufs = table_rec_model.generate(params, cfg, enc_states, input_vectors, seq_lens, max_steps)
+        def generate(params, enc_states, enc_idx, input_vectors, seq_lens, script, max_steps):
+            # rows reference their image's encoder states by index: the
+            # gather happens on device, so the cell pass never re-uploads a
+            # duplicated [L, H] state block per row query (hundreds of rows
+            # per batch of tables -> GBs of host<->device traffic otherwise)
+            bufs = table_rec_model.generate(
+                params, cfg, enc_states[enc_idx], input_vectors, seq_lens, max_steps,
+                category_script=script,
+            )
             # pack into one array: one device->host fetch per pass
             return jnp.concatenate(
                 [
@@ -120,8 +153,14 @@ class TableRecPredictor(BasePredictor):
                 seq += col_labels
         return np.asarray(rows, np.float32).astype(np.int32)
 
-    def _run_pass(self, enc_states: np.ndarray, vectors: np.ndarray, batch_size: int) -> List[List[dict]]:
-        """Run one AR pass; returns per-row lists of property dicts."""
+    def _run_pass(self, enc_dev, enc_idx: np.ndarray, vectors: np.ndarray, batch_size: int,
+                  script: Optional[np.ndarray] = None) -> List[List[dict]]:
+        """Run one AR pass; returns per-row lists of property dicts.
+
+        enc_dev: device-resident encoder states for the padded image batch
+        (the _encode output — never fetched to host); enc_idx [n] maps each
+        query row to its image's row in enc_dev. script: optional per-step
+        raw-category overrides (install_synthetic_tables)."""
         n, L = vectors.shape[:2]
         L_bucket = next((b for b in PROMPT_BUCKETS if b >= L), None)
         if L_bucket is None:
@@ -129,14 +168,17 @@ class TableRecPredictor(BasePredictor):
 
         vec_pad = np.zeros((batch_size, L_bucket, vectors.shape[2]), np.int32)
         vec_pad[:n, :L] = vectors
-        enc_pad = self.pad_to_batch_size(enc_states, batch_size)
+        idx_pad = np.zeros((batch_size,), np.int32)
+        idx_pad[:n] = enc_idx
         seq_lens = np.full((batch_size,), L, np.int32)
 
+        if script is None:
+            script = np.full((self.config.max_boxes,), -1, np.int32)  # model argmax
         args = (
-            self.shard_pixels(enc_pad), self.shard_pixels(vec_pad), self.shard_pixels(seq_lens),
+            self.shard_pixels(idx_pad), self.shard_pixels(vec_pad), self.shard_pixels(seq_lens),
         )
         packed = np.asarray(
-            self._generate(self.params, *args, max_steps=self.config.max_boxes)
+            self._generate(self.params, enc_dev, *args, script, max_steps=self.config.max_boxes)
         )[:n]
 
         predictions: List[List[dict]] = []
@@ -195,14 +237,17 @@ class TableRecPredictor(BasePredictor):
 
             pixels = np.stack([self.prepare_image(im) for im in batch_images])
             pixels = self.pad_to_batch_size(pixels, batch_size)
-            enc_states = np.asarray(self._encode(self.params, self.shard_pixels(pixels)))[:current]
+            enc_dev = self._encode(self.params, self.shard_pixels(pixels))
 
             vectors = self._build_query_vectors(batch_query_items)
-            rowcol_predictions = self._run_pass(enc_states, vectors, batch_size)
+            rowcol_predictions = self._run_pass(
+                enc_dev, np.arange(len(vectors), dtype=np.int32), vectors, batch_size,
+                script=getattr(self, "_script_rowcol", None),
+            )
 
             # collect row queries + the batch's columns (reference appends ALL
             # batch columns as context to every row query: :196-231)
-            row_query_items, row_enc, idx_map, columns = [], [], [], []
+            row_query_items, idx_map, columns = [], [], []
             for j, img_preds in enumerate(rowcol_predictions):
                 for pred in img_preds:
                     polygon = self.shaper.convert_bbox_to_polygon(pred["bbox"])
@@ -215,7 +260,6 @@ class TableRecPredictor(BasePredictor):
                     }
                     if pred["category"] == CATEGORY_TO_ID["Table-row"]:
                         row_query_items.append(item)
-                        row_enc.append(enc_states[j])
                         idx_map.append(j)
                     elif pred["category"] == CATEGORY_TO_ID["Table-column"]:
                         columns.append(item)
@@ -223,10 +267,24 @@ class TableRecPredictor(BasePredictor):
             cell_predictions = []
             if row_query_items:
                 row_vectors = self._build_query_vectors(row_query_items, columns=columns)
-                row_enc = np.stack(row_enc)
-                for j in range(0, len(row_vectors), batch_size):
+                row_idx = np.asarray(idx_map, np.int32)
+                # The capped AR pass is dispatch-bound: the tiny ADETR decoder
+                # stays latency-bound well past B=128, so one wide generate
+                # dispatch beats many batch_size-wide ones when a batch of
+                # tables yields hundreds of row queries (reference runs the
+                # cell pass at the same batch size as pass 1:
+                # surya/table_rec/__init__.py:196-238).
+                cell_bs = batch_size
+                cap = self.round_batch(max(batch_size, settings.TABLE_REC_CELL_BATCH_MAX))
+                while cell_bs < cap and cell_bs < len(row_vectors):
+                    cell_bs *= 2
+                cell_bs = min(cell_bs, cap)
+                for j in range(0, len(row_vectors), cell_bs):
                     cell_predictions.extend(
-                        self._run_pass(row_enc[j : j + batch_size], row_vectors[j : j + batch_size], batch_size)
+                        self._run_pass(
+                            enc_dev, row_idx[j : j + cell_bs], row_vectors[j : j + cell_bs], cell_bs,
+                            script=getattr(self, "_script_cells", None),
+                        )
                     )
 
             results.extend(

@@ -30,10 +30,20 @@ import tempfile  # noqa: E402
 
 
 def _test_cache_dir() -> str:
+    # keyed by jax version AND host-CPU identity: XLA:CPU AOT artifacts embed
+    # machine features, and a VM migration that changes the host CPU makes a
+    # version-only dir serve wrong-machine artifacts ("could lead to SIGILL"
+    # cpu_aot_loader errors on every program load)
     import jax.version
 
+    from surya_tpu.common.runtime import _machine_fingerprint
+
+    try:
+        fp = _machine_fingerprint()
+    except Exception:
+        fp = "nofp"
     d = os.path.join(
-        tempfile.gettempdir(), f"surya-test-jaxcache-{jax.version.__version__}"
+        tempfile.gettempdir(), f"surya-test-jaxcache-{jax.version.__version__}-{fp}"
     )
     os.makedirs(d, exist_ok=True)
     return d

@@ -108,3 +108,73 @@ def test_interleave_shard_slots():
     assert interleave_shard_slots([0, 1, 2, 5, 7], 2) == [0, 2, 1, 5, 7]
     # no sharding -> unchanged
     assert interleave_shard_slots([3, 1, 2], 0) == [3, 1, 2]
+
+
+def test_device_repeat_stop_matches_host_cut():
+    """decode_chunk's device run-length stop (uniq=1 collapse) must cut at
+    exactly the step the host chunk_stop_scan keeps last, and pad everything
+    after it — so enabling it cannot change host-visible output."""
+    import jax
+    import jax.numpy as jnp
+
+    from surya_tpu.models import foundation, qwen_decoder, qwen_encoder
+
+    W = 10  # smallest window the host scan supports (period checks up to 5)
+    enc = qwen_encoder.EncoderConfig(
+        depth=1, hidden_size=64, intermediate_size=128, num_heads=4,
+        window_size=56, out_hidden_size=64, fullatt_block_indexes=(),
+    )
+    dec = qwen_decoder.DecoderConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    )
+    cfg = foundation.FoundationConfig(vocab_size=64, encoder=enc, decoder=dec)
+    params = foundation.init_params(cfg, jax.random.PRNGKey(3))
+
+    B, K = 4, 24
+    tok0 = jnp.asarray(np.array([5, 9, 17, 33], np.int32))
+    active = jnp.ones((B,), bool)
+
+    def fresh_cache():
+        cache = qwen_decoder.init_cache(dec, B, 64, jnp.float32)
+        ids = jnp.tile(jnp.asarray(np.array([[3, 4, 5]], np.int32)), (B, 1))
+        seq_lens = jnp.full((B,), 3, jnp.int32)
+        embeds = foundation.embed_prompt_tokens(
+            params, cfg, ids, jnp.full((B, 3), -1, jnp.int32), jnp.zeros((1, 64))
+        )
+        nk, nv, _ = qwen_decoder.prefill(params["decoder"], dec, embeds, seq_lens)
+        return qwen_decoder.merge_prefill(cache, nk, nv, seq_lens, jnp.arange(B))
+
+    _, base_toks, base_scores, *_ = foundation.decode_chunk(
+        params, cfg, fresh_cache(), tok0, active, num_steps=K
+    )
+    _, rep_toks, rep_scores, _, _, rep_active, run_out = foundation.decode_chunk(
+        params, cfg, fresh_cache(), tok0, active, num_steps=K,
+        run=jnp.ones((B,), jnp.int32), repeat_window=W,
+    )
+    base_toks, rep_toks = np.asarray(base_toks), np.asarray(rep_toks)
+
+    # host oracle over the unrestricted token stream: prior=1 (the seed
+    # token), tails = [-1..., tok0], huge budget -> only repeat stops fire
+    tails = np.full((B, W - 1), -1, np.int32)
+    tails[:, -1] = np.asarray(tok0)
+    any_stop, cut = chunk_stop_scan(
+        base_toks, np.ones(B, int), np.full(B, 10_000), tails,
+        cfg.eos_token_id, cfg.pad_token_id, W
+    )
+    # non-vacuity: untrained greedy must collapse somewhere in the batch
+    assert any_stop.any()
+    for i in range(B):
+        if not any_stop[i]:
+            np.testing.assert_array_equal(rep_toks[i], base_toks[i])
+            continue
+        k = int(cut[i])
+        np.testing.assert_array_equal(rep_toks[i, : k + 1], base_toks[i, : k + 1])
+        # uniq=1 stops (run of W equal tokens) must be padded on device from
+        # the very next step; period-2..5 stops may keep decoding (the host
+        # kill handles those) but never diverge before the cut
+        window = np.concatenate([tails[i], base_toks[i, : k + 1]])[-W:]
+        if len(set(window.tolist())) == 1:
+            assert not bool(np.asarray(rep_active)[i])
+            assert (rep_toks[i, k + 1 :] == cfg.pad_token_id).all()
+            assert (np.asarray(rep_scores)[i, k + 1 :] == 0).all()

@@ -62,3 +62,28 @@ def test_shaper_roundtrip():
     labels = shaper.dict_to_labels(out)
     assert len(labels[0]) == 10
     assert labels[0][6] == 4 + 5  # category shifted by special tokens
+
+
+def test_synthetic_table_script(table_rec_predictor, table_image):
+    """install_synthetic_tables pins the AR category stream: the result must
+    contain exactly n_rows rows and n_cols columns with a full cell grid,
+    regardless of what the random weights' own argmax would do."""
+    from surya_tpu.table_rec import install_synthetic_tables
+
+    install_synthetic_tables(table_rec_predictor, n_rows=3, n_cols=2, n_cells=2)
+    try:
+        results = table_rec_predictor([table_image])
+        r = results[0]
+        assert len(r.rows) == 3
+        assert len(r.cols) == 2
+        # every row materializes at least one grid cell with valid indices
+        # (full coverage is NOT guaranteed: a spanning cell can absorb later
+        # columns without emitting cells, mirroring the reference's matching)
+        covered_rows = set()
+        for c in r.cells:
+            covered_rows.update(range(c.row_id, c.row_id + c.rowspan))
+        assert covered_rows == {0, 1, 2}
+        assert all(0 <= c.col_id < 2 for c in r.cells)
+    finally:
+        table_rec_predictor._script_rowcol = None
+        table_rec_predictor._script_cells = None
