@@ -71,7 +71,12 @@ class DetectionPredictor(BasePredictor):
             """Double-LANCZOS resize on the MXU: chunks arrive at source
             resolution (uint8), the PIL-exact per-size weight matrices
             (resize.py) resize them, so the single-core host never touches
-            full-page pixels beyond one memcpy."""
+            full-page pixels beyond one memcpy.
+
+            Grayscale pages arrive single-channel (C=1) and broadcast to RGB
+            AFTER the channel-wise-linear resize: H2D bandwidth is the
+            detection bottleneck on a tunnel-attached chip (~30-45 MB/s
+            measured), and most scans/renders have R==G==B — a 3x byte cut."""
             V = Vs[gid].astype(settings.MODEL_DTYPE)
             Hm = Hs[gid].astype(settings.MODEL_DTYPE)
             x = pixels_u8.astype(settings.MODEL_DTYPE)
@@ -82,6 +87,8 @@ class DetectionPredictor(BasePredictor):
             )
             # PIL rounds to uint8 after the final resize
             x = jnp.clip(jnp.round(x), 0.0, 255.0)
+            if x.shape[-1] == 1:
+                x = jnp.broadcast_to(x, (*x.shape[:-1], 3))
             return x.astype(settings.MODEL_DTYPE) / 255.0
 
         def _quantize(heat):
@@ -229,14 +236,29 @@ class DetectionPredictor(BasePredictor):
                 with stage("detection.prepare"):
                     raw = [np.asarray(part, np.uint8) for part in image_splits]
                     sizes = [r.shape[:2] for r in raw]
-                    # coarse 512-px canvas buckets: a mixed-size corpus would
+                    # 256-px canvas buckets: a mixed-size corpus would
                     # otherwise compile a fresh forward_resize program per
-                    # batch max-size signature
-                    Hb = -(-max(s[0] for s in sizes) // 512) * 512
-                    Wb = -(-max(s[1] for s in sizes) // 512) * 512
-                    pixels = np.zeros((rows, Hb, Wb, 3), np.uint8)
+                    # batch max-size signature. (256 not 512 — H2D bytes are
+                    # the detection bottleneck and a 1240-px page padded to
+                    # 1536 wastes 24%.)
+                    Hb = -(-max(s[0] for s in sizes) // 256) * 256
+                    Wb = -(-max(s[1] for s in sizes) // 256) * 256
+                    # grayscale fast path: ship ONE channel when every chunk
+                    # has R==G==B (strided sample gates the full check so
+                    # color pages pay ~nothing); the device broadcasts back
+                    # to RGB after the resize — bit-identical output
+                    gray = settings.DETECTOR_GRAYSCALE_SHIP is not False and all(
+                        (r[::16, ::16, 0] == r[::16, ::16, 1]).all()
+                        and (r[::16, ::16, 1] == r[::16, ::16, 2]).all()
+                        for r in raw
+                    ) and all(
+                        (r[..., 0] == r[..., 1]).all() and (r[..., 1] == r[..., 2]).all()
+                        for r in raw
+                    )
+                    C = 1 if gray else 3
+                    pixels = np.zeros((rows, Hb, Wb, C), np.uint8)
                     for i, r in enumerate(raw):
-                        pixels[i, : r.shape[0], : r.shape[1]] = r
+                        pixels[i, : r.shape[0], : r.shape[1]] = r[..., :1] if gray else r
                     uniq = sorted(set(sizes))
                     n_groups = 1
                     while n_groups < len(uniq):

@@ -77,6 +77,9 @@ class Settings(BaseModel):
     DETECTOR_POSTPROCESSING_CPU_WORKERS: int = min(8, os.cpu_count() or 1)
     DETECTOR_MIN_PARALLEL_THRESH: int = 3
     DETECTOR_BOX_Y_EXPAND_MARGIN: float = 0.05
+    # None = auto (ship 1 channel when page content is exactly grayscale);
+    # False disables the single-channel ship (always 3-channel H2D)
+    DETECTOR_GRAYSCALE_SHIP: Optional[bool] = None
     # None = auto (on for TPU): run the double-LANCZOS chunk resize on device
     # as weight matmuls (detection/resize.py) instead of host PIL
     DETECTOR_DEVICE_RESIZE: Optional[bool] = None

@@ -195,3 +195,33 @@ def test_persistent_failure_backs_off_exponentially(blob_detector):
         del blob_detector.STATS_RETRY_MAX
         blob_detector._stats_skip = 0
         blob_detector._stats_backoff = None
+
+
+def test_grayscale_ship_matches_rgb(blob_detector):
+    """The single-channel H2D fast path (device resize broadcasts gray->RGB
+    after the channel-wise-linear resize) must produce EXACTLY the boxes of
+    the 3-channel ship for grayscale content, and color content must route
+    to the 3-channel program untouched."""
+    pages = [_page(), _page(lines=5, width=700, height=600)]
+    color = _page()
+    from PIL import ImageDraw
+
+    ImageDraw.Draw(color).rectangle((100, 100, 300, 200), fill=(200, 40, 40))
+
+    old_resize = settings.DETECTOR_DEVICE_RESIZE
+    old_gray = settings.DETECTOR_GRAYSCALE_SHIP
+    settings.DETECTOR_DEVICE_RESIZE = True
+    try:
+        settings.DETECTOR_GRAYSCALE_SHIP = None  # auto: gray content ships C=1
+        gray_res = _run(blob_detector, pages, on_device=True)
+        color_res = _run(blob_detector, [color], on_device=True)
+        settings.DETECTOR_GRAYSCALE_SHIP = False  # always C=3
+        rgb_res = _run(blob_detector, pages, on_device=True)
+    finally:
+        settings.DETECTOR_DEVICE_RESIZE = old_resize
+        settings.DETECTOR_GRAYSCALE_SHIP = old_gray
+
+    for g, r in zip(gray_res, rgb_res):
+        assert [b.bbox for b in g.bboxes] == [b.bbox for b in r.bboxes]
+        assert len(g.bboxes) > 0
+    assert len(color_res[0].bboxes) > 0
