@@ -19,6 +19,7 @@ import numpy as np
 from PIL import Image
 
 from surya_tpu.models import qwen_encoder
+from surya_tpu.settings import settings
 from surya_tpu.recognition.tokenizer import (
     BLOCK_WITHOUT_BOXES_TOKEN,
     EOI_TOKEN,
@@ -160,14 +161,33 @@ class RecognitionProcessor:
 
     def normalize_patch_rows(self, patches, dtype):
         """Device-side rescale + normalize of uint8 patch rows (channel-major
-        (C, p, p) layout inside each row)."""
+        (C, p, p) layout inside each row). Grayscale waves arrive with only
+        the first channel third (_gray_ship) and are tiled back to the full
+        [R|G|B] layout here — bit-identical to the 3-channel ship."""
         import jax.numpy as jnp
 
         p2 = self.patch_size**2
+        if patches.shape[-1] == p2:
+            patches = jnp.concatenate([patches, patches, patches], axis=-1)
         mean = jnp.repeat(jnp.asarray(IMAGE_MEAN, jnp.float32), p2)
         std = jnp.repeat(jnp.asarray(IMAGE_STD, jnp.float32), p2)
         x = patches.astype(jnp.float32) / 255.0
         return ((x - mean) / std).astype(dtype)
+
+    def _gray_ship(self, patch_buf: np.ndarray) -> np.ndarray:
+        """Ship one channel third when every patch row has R==G==B: H2D
+        bandwidth is ~30-45 MB/s through the tunnel and the patch upload is
+        the dominant prefill host->device cost; most OCR content is
+        grayscale. normalize_patch_rows tiles the third back on device."""
+        if settings.RECOGNITION_GRAYSCALE_SHIP is False:
+            return patch_buf
+        p2 = self.patch_size**2
+        a = patch_buf[..., :p2]
+        if np.array_equal(a, patch_buf[..., p2 : 2 * p2]) and np.array_equal(
+            a, patch_buf[..., 2 * p2 :]
+        ):
+            return np.ascontiguousarray(a)
+        return patch_buf
 
     def window_slots_needed(self, grid: Tuple[int, int], encoder_config) -> int:
         """Layout slots an image occupies — the packed layout has no window
@@ -303,7 +323,7 @@ class RecognitionProcessor:
                     seq_lens[r] = len(row)
 
             return PrefillBatch(
-                patches=patch_buf, layout=layout, input_ids=input_ids,
+                patches=self._gray_ship(patch_buf), layout=layout, input_ids=input_ids,
                 img_gather=img_gather, seq_lens=seq_lens, n_prompts=len(prompts),
                 valid_rows=valid_rows,
             )
@@ -316,6 +336,7 @@ class RecognitionProcessor:
         cat = np.concatenate(all_patches, axis=0) if all_patches else np.zeros((0, self.patch_dim), np.uint8)
         patch_buf = np.zeros((patch_cap, self.patch_dim), np.uint8)
         patch_buf[: cat.shape[0]] = cat
+        patch_buf = self._gray_ship(patch_buf)
 
         layout = qwen_encoder.plan_layout(grids, encoder_config, patch_cap)
 

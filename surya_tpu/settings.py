@@ -114,6 +114,9 @@ class Settings(BaseModel):
     # TPU scheduling knobs: tokens decoded on-device per host visit, and the
     # static sequence-length buckets prefill rounds compile against
     RECOGNITION_DECODE_CHUNK: int = 64
+    # None = auto (ship one channel third of the patch rows when every patch
+    # has R==G==B); False = always ship the full 3-channel patch rows
+    RECOGNITION_GRAYSCALE_SHIP: Optional[bool] = None
     # smallest bucket that fits a wave's longest prompt wins; typical OCR
     # line prompts are ~60 tokens (image tokens + specials), so the small
     # buckets cut decoder-prefill FLOPs ~4x and right-size the KV cache

@@ -126,3 +126,23 @@ def test_truncate_repetitions():
     out = truncate_repetitions(t)
     assert len(out) < len(t)
     assert truncate_repetitions("short") == "short"
+
+
+def test_grayscale_patch_ship_matches_rgb(recognition_predictor, test_image):
+    """Grayscale content ships one channel third of each patch row
+    (processor._gray_ship) and is tiled back on device — tokens and scores
+    must be IDENTICAL to the full 3-channel ship."""
+    from surya_tpu.settings import settings
+
+    bboxes = [[[10, 5, 300, 60], [10, 200, 400, 240]]]
+    old = settings.RECOGNITION_GRAYSCALE_SHIP
+    try:
+        settings.RECOGNITION_GRAYSCALE_SHIP = None  # auto
+        gray = recognition_predictor([test_image], bboxes=bboxes)
+        settings.RECOGNITION_GRAYSCALE_SHIP = False
+        rgb = recognition_predictor([test_image], bboxes=bboxes)
+    finally:
+        settings.RECOGNITION_GRAYSCALE_SHIP = old
+    for g, r in zip(gray[0].text_lines, rgb[0].text_lines):
+        assert g.text == r.text
+        assert g.confidence == r.confidence
