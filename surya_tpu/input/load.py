@@ -45,6 +45,24 @@ def open_pdf(pdf_path: str):
     return pypdfium2.PdfDocument(pdf_path)
 
 
+def load_pdf_page_count(pdf_bytes: bytes) -> int:
+    """Page count of an in-memory PDF (web upload path; pypdfium2-gated)."""
+    doc = open_pdf(pdf_bytes)  # pypdfium2 accepts bytes as well as paths
+    try:
+        return len(doc)
+    finally:
+        doc.close()
+
+
+def render_pdf_page(pdf_bytes: bytes, index: int, dpi: int = settings.IMAGE_DPI):
+    """Rasterize one page of an in-memory PDF to a PIL RGB image."""
+    doc = open_pdf(pdf_bytes)
+    try:
+        return get_page_images(doc, [index], dpi=dpi)[0]
+    finally:
+        doc.close()
+
+
 def get_page_images(doc, indices: List[int], dpi: int = settings.IMAGE_DPI):
     images = [doc[i].render(scale=dpi / 72, draw_annots=False).to_pil() for i in indices]
     return [image.convert("RGB") for image in images]
