@@ -251,6 +251,18 @@ def measure():
     prefill_drain_s, _ = stage_of(full_prof, "recognition.drain_prefill")
     decode_disp_s, decode_calls = stage_of(full_prof, "recognition.decode")
     decode_drain_s, _ = stage_of(full_prof, "recognition.drain_decode")
+    # host-side walls (1-vCPU boxes make these the hidden bottleneck —
+    # build time overlaps device time via the builder thread, but only if
+    # a core is free): prefill packing + detection prepare/forward/fetch
+    build_s, build_calls = stage_of(full_prof, "recognition.prefill_build")
+    det_prep_s, _ = stage_of(full_prof, "detection.prepare")
+    det_fwd_s, _ = stage_of(full_prof, "detection.forward")
+    det_get_s, _ = stage_of(full_prof, "detection.device_get")
+    record(
+        prefill_build_wall_s=build_s, prefill_builds=build_calls,
+        detect_prepare_wall_s=det_prep_s, detect_forward_wall_s=det_fwd_s,
+        detect_fetch_wall_s=det_get_s,
+    )
     prefill_s = round(prefill_disp_s + prefill_drain_s, 3)
     decode_s = round(decode_disp_s + decode_drain_s, 3)
     detect_s, _ = stage_of(full_prof, "recognition.detect")
