@@ -34,7 +34,11 @@ def _is_pdf(path: str) -> bool:
         return False
 
 
-def open_pdf(pdf_path: str):
+def open_pdf(pdf: "str | bytes"):
+    """Open a PDF document from a filesystem path or in-memory bytes.
+
+    pypdfium2's PdfDocument accepts both input kinds natively; the web upload
+    path passes raw request bytes, the CLI path passes file paths."""
     try:
         import pypdfium2
     except ImportError as e:
@@ -42,12 +46,12 @@ def open_pdf(pdf_path: str):
             "PDF input requires pypdfium2, which is not installed in this "
             "environment. Rasterize the PDF to images first."
         ) from e
-    return pypdfium2.PdfDocument(pdf_path)
+    return pypdfium2.PdfDocument(pdf)
 
 
 def load_pdf_page_count(pdf_bytes: bytes) -> int:
     """Page count of an in-memory PDF (web upload path; pypdfium2-gated)."""
-    doc = open_pdf(pdf_bytes)  # pypdfium2 accepts bytes as well as paths
+    doc = open_pdf(pdf_bytes)
     try:
         return len(doc)
     finally:

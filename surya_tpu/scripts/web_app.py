@@ -86,8 +86,14 @@ document.querySelectorAll('button').forEach(btn => btn.addEventListener('click',
   const status = document.getElementById('status');
   if (!f) { status.textContent = 'choose a file first'; return; }
   status.textContent = 'running ' + btn.dataset.action + '…';
-  const buf = await f.arrayBuffer();
-  const b64 = btoa(new Uint8Array(buf).reduce((s, b) => s + String.fromCharCode(b), ''));
+  // FileReader gives base64 natively (data:...;base64,XXXX) — a JS
+  // reduce-concat loop is O(n^2) and freezes the tab on multi-MB PDFs
+  const b64 = await new Promise((res, rej) => {
+    const r = new FileReader();
+    r.onload = () => res(r.result.slice(r.result.indexOf(',') + 1));
+    r.onerror = rej;
+    r.readAsDataURL(f);
+  });
   const body = {
     file_b64: b64, filename: f.name,
     page: parseInt(document.getElementById('page').value || '1'),
@@ -145,9 +151,22 @@ def _img_b64(img) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
-def _load_input(req: dict):
+# per-action image needs: PDF rendering at IMAGE_DPI_HIGHRES is ~4x the pixels
+# of the lowres render, so actions that never touch the highres image
+# (detect/layout) skip it; ocr_error only needs the raw bytes + page count
+_ACTION_NEEDS = {
+    "detect": ("low",),
+    "layout": ("low",),
+    "ocr": ("low", "high"),
+    "table": ("low", "high"),
+    "ocr_error": (),
+}
+
+
+def _load_input(req: dict, needs=("low", "high")):
     """Decode the uploaded file into (lowres PIL image, highres PIL image,
-    pdf page count or None, raw bytes)."""
+    pdf page count or None, raw bytes). The PDF document is parsed ONCE per
+    request and only the resolutions in `needs` are rendered."""
     from PIL import Image
 
     from surya_tpu.settings import settings
@@ -155,12 +174,19 @@ def _load_input(req: dict):
     raw = base64.b64decode(req["file_b64"])
     name = (req.get("filename") or "").lower()
     if name.endswith(".pdf"):
-        from surya_tpu.input.load import load_pdf_page_count, render_pdf_page
+        from surya_tpu.input.load import get_page_images, open_pdf
 
-        n_pages = load_pdf_page_count(raw)
-        page = max(1, min(int(req.get("page", 1)), n_pages))
-        low = render_pdf_page(raw, page - 1, settings.IMAGE_DPI)
-        high = render_pdf_page(raw, page - 1, settings.IMAGE_DPI_HIGHRES)
+        doc = open_pdf(raw)
+        try:
+            n_pages = len(doc)
+            page = max(1, min(int(req.get("page", 1)), n_pages))
+            low = high = None
+            if "low" in needs:
+                low = get_page_images(doc, [page - 1], dpi=settings.IMAGE_DPI)[0]
+            if "high" in needs:
+                high = get_page_images(doc, [page - 1], dpi=settings.IMAGE_DPI_HIGHRES)[0]
+        finally:
+            doc.close()
         return low, high, n_pages, raw
     img = Image.open(io.BytesIO(raw)).convert("RGB")
     return img, img, None, raw
@@ -181,7 +207,7 @@ def run_action(preds: PredictorRegistry, action: str, req: dict) -> dict:
     from surya_tpu.recognition.tokenizer import TaskNames
     from surya_tpu.scripts.streamlit_app import classify_pdf_text_quality, sample_pdf_text
 
-    image, highres, n_pages, raw = _load_input(req)
+    image, highres, n_pages, raw = _load_input(req, _ACTION_NEEDS.get(action, ("low", "high")))
 
     if action == "detect":
         det = preds["detection"]([image])[0]
@@ -285,6 +311,8 @@ def make_server(port: int = 0, tiny: bool = False) -> ThreadingHTTPServer:
             else:
                 self._send(404, b'{"error": "not found"}', "application/json")
 
+        MAX_BODY_BYTES = 64 * 1024 * 1024  # uploads are base64 JSON; 64 MB is generous
+
         def do_POST(self):
             if not self.path.startswith("/api/"):
                 self._send(404, b'{"error": "not found"}', "application/json")
@@ -292,6 +320,15 @@ def make_server(port: int = 0, tiny: bool = False) -> ThreadingHTTPServer:
             action = self.path[len("/api/"):]
             try:
                 length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._send(400, b'{"error": "bad Content-Length"}', "application/json")
+                return
+            if length > self.MAX_BODY_BYTES:
+                # reject BEFORE reading: a huge declared length must not
+                # allocate unboundedly
+                self._send(413, b'{"error": "request body too large"}', "application/json")
+                return
+            try:
                 req = json.loads(self.rfile.read(length) or b"{}")
                 with preds.lock:
                     out = run_action(preds, action, req)
@@ -309,13 +346,17 @@ def make_server(port: int = 0, tiny: bool = False) -> ThreadingHTTPServer:
 def main(argv: Optional[list] = None):
     ap = argparse.ArgumentParser(description="surya-tpu web GUI (stdlib, no streamlit)")
     ap.add_argument("--port", type=int, default=8866)
-    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument(
+        "--host", default="127.0.0.1",
+        help="must be 127.0.0.1 (loopback-only policy); put a reverse proxy "
+        "in front for remote access",
+    )
     ap.add_argument("--tiny", action="store_true", help="tiny random models (demo/CI)")
     args = ap.parse_args(argv)
-    server = make_server(args.port, tiny=args.tiny)
+    # validate BEFORE binding the port — a rejected host must not waste a bind
     if args.host != "127.0.0.1":
-        server.server_close()
         raise SystemExit("web_app binds 127.0.0.1 only; put a reverse proxy in front for remote access")
+    server = make_server(args.port, tiny=args.tiny)
     print(f"surya-tpu web GUI: http://127.0.0.1:{server.server_address[1]}/", flush=True)
     server.serve_forever()
 
