@@ -165,11 +165,25 @@ def test_meshed_batch_predictors():
 
     from surya_tpu.layout import LayoutPredictor
     from surya_tpu.ocr_error import OCRErrorPredictor
+    from surya_tpu.table_rec import TableRecPredictor, install_synthetic_tables
 
+    table_img = img.crop((40, 180, 470, 420))
+
+    def make_table_rec():
+        # pin the category stream (random-weight argmax is a float knife
+        # edge); bboxes stay model-computed, so the meshed-vs-single compare
+        # still exercises the full Swin encode + ADETR decode under dp
+        tr = TableRecPredictor(tiny=True)
+        install_synthetic_tables(tr, n_rows=3, n_cols=2, n_cells=1)
+        return tr
+
+    old_boxes = settings.TABLE_REC_MAX_BOXES
+    settings.TABLE_REC_MAX_BOXES = 8  # keep the virtual-mesh AR loop fast
     lay_single = LayoutPredictor(tiny=True)
     base_lay = lay_single([img])
     err_single = OCRErrorPredictor(tiny=True)
     base_err = err_single(texts)
+    base_tab = make_table_rec()([table_img])
 
     from surya_tpu.detection import DetectionPredictor
 
@@ -187,13 +201,23 @@ def test_meshed_batch_predictors():
         det = DetectionPredictor(tiny=True)
         assert det.mesh is not None
         mesh_det = det([img])
+        tab = make_table_rec()
+        assert tab.mesh is not None
+        mesh_tab = tab([table_img])
     finally:
         settings.USE_MESH = old
+        settings.TABLE_REC_MAX_BOXES = old_boxes
 
     assert len(mesh_lay) == 1
     assert [b.label for b in mesh_lay[0].bboxes] == [b.label for b in base_lay[0].bboxes]
     assert mesh_err.labels == base_err.labels
     assert [b.bbox for b in mesh_det[0].bboxes] == [b.bbox for b in base_det[0].bboxes]
+    assert len(mesh_tab) == 1
+    assert len(mesh_tab[0].rows) == len(base_tab[0].rows) == 3
+    assert len(mesh_tab[0].cols) == len(base_tab[0].cols) == 2
+    assert len(mesh_tab[0].cells) == len(base_tab[0].cells)
+    for mc, bc in zip(mesh_tab[0].rows, base_tab[0].rows):
+        assert np.abs(np.asarray(mc.polygon) - np.asarray(bc.polygon)).max() < 1.0
 
 
 def test_dryrun_multichip_step():
