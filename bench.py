@@ -19,11 +19,16 @@ provisional output can only help. Guarantees:
 Baseline: reference Surya does 0.62 s/page (1.61 pages/s) for full OCR on an
 A6000 (BASELINE.md). Checkpoints aren't downloadable here (every manifest
 fetch is NXDOMAIN), so the bench runs the production-size models with random
-weights and a fixed realistic workload: 40 text lines/page, 64 decoded
-tokens/line. Detail splits cover decode-heavy (224-token real task budget),
-the 768-token block/texify task, int8 weights, and auditable arithmetic:
-decoded tokens/s, prefill vs decode wall + dispatch counts, and a sustained-
-TFLOP/s -> MFU estimate for the decode phase.
+weights and a PINNED workload: 40 text lines/page, EXACTLY 40 decoded
+tokens/line (RECOGNITION_PIN_DECODE ignores EOS/repeat stops), so the
+headline is invariant to what random-weight logits emit and comparable
+across rounds (r4 weak #5). One split keeps real stopping to exercise the
+stop machinery. Detail splits cover decode-heavy (224-token real task
+budget), the block/texify task measured BATCHED like the reference's 128-row
+run (README.md:461-463) plus a single-block latency, int8 weights, an
+UNFUSED trial separating prefill vs decode walls honestly, a per-stage
+single-page latency breakdown, and auditable arithmetic: decoded tokens/s,
+dispatch counts, and a sustained-TFLOP/s -> MFU estimate for decode.
 
 Random weights produce a noise heatmap, which sends CRAFT down a pathological
 path no real checkpoint hits. Instead of blanking the map, the bench makes
@@ -43,7 +48,12 @@ import sys
 import time
 
 os.environ.setdefault("ALLOW_RANDOM_WEIGHTS", "true")
-os.environ.setdefault("RECOGNITION_MAX_TOKENS", "64")
+# pinned throughput workload: every line decodes EXACTLY this many tokens
+# (chunk sized to the budget so one fused dispatch covers a whole wave)
+PIN_TOKENS_PER_LINE = 40
+os.environ.setdefault("RECOGNITION_MAX_TOKENS", str(PIN_TOKENS_PER_LINE))
+os.environ.setdefault("RECOGNITION_PIN_DECODE", "true")
+os.environ.setdefault("RECOGNITION_DECODE_CHUNK", str(PIN_TOKENS_PER_LINE))
 os.environ.setdefault("DISABLE_TQDM", "true")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -52,6 +62,9 @@ N_PAGES = 16
 DECODE_HEAVY_PAGES = 8
 DECODE_HEAVY_TOKENS = 224  # the real ocr_with_boxes budget (tasks table)
 BLOCK_TOKENS = 768  # the real block_without_boxes (texify) budget
+BLOCK_BATCH = 32  # batched texify split (reference measures 128 rows batched)
+BLOCK_BATCH_TOKENS = 256  # pinned per-block decode (typical equations << 768 cap)
+REALSTOP_TOKENS = 64  # free-running split budget (r1-r4 comparable workload)
 LINES_PER_PAGE = 40
 BASELINE_PAGES_PER_SEC = 1.0 / 0.62  # A6000, README.md:364-367
 V5E_BF16_TFLOPS = 197.0  # nominal per-chip bf16 peak, for the MFU estimate

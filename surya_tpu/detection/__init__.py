@@ -53,6 +53,10 @@ class DetectionPredictor(BasePredictor):
     def _load(self, checkpoint: Optional[str]):
         self.params, self.config = load_detection_model(checkpoint, tiny=self._tiny)
         self.processor_size = self.config.image_size  # (h, w)
+        # device-resident double-LANCZOS weight matrices, keyed by the batch's
+        # (source sizes, canvas) signature: re-uploading ~5 MB of resize
+        # weights per dispatch would eat the pipelining win on a tunnel link
+        self._resize_mat_cache = {}
         # on-device-postprocess failure backoff: number of upcoming batches
         # routed to the host path after a failure (a transient backend error
         # must not downgrade the predictor for the process lifetime)
@@ -185,12 +189,22 @@ class DetectionPredictor(BasePredictor):
         orig_sizes = [image.size for image in images]
         splits_per_image = [get_total_splits(size, proc_h) for size in orig_sizes]
 
+        # pipeline sub-batches: cap chunk rows per dispatch so a multi-page
+        # call becomes >=2 dispatches — host prepare + H2D of batch k+1 then
+        # overlap device compute of batch k (ONE dispatch stays in flight,
+        # fetched only after the next one is enqueued). Worth ~2x detection
+        # throughput on a tunnel-attached chip where H2D is the bottleneck.
+        pipe_cap = settings.DETECTOR_PIPELINE_BATCH
+        if pipe_cap is None:
+            pipe_cap = 8 if settings.DEVICE == "tpu" else batch_size
+        eff_batch = min(batch_size, max(1, pipe_cap))
+
         # pack images into batches by their split counts
         batches: List[List[int]] = []
         current: List[int] = []
         current_size = 0
         for i in range(len(images)):
-            if current_size + splits_per_image[i] > batch_size:
+            if current_size + splits_per_image[i] > eff_batch:
                 if current:
                     batches.append(current)
                 current, current_size = [], 0
@@ -199,6 +213,87 @@ class DetectionPredictor(BasePredictor):
         if current:
             batches.append(current)
 
+        def dispatch_maps(rec):
+            """Enqueue the heatmap program on a batch's (already device-
+            resident) pixels — the primary path when on-device postprocess is
+            off, and the fallback when a stats fetch failed/overflowed."""
+            n_maps = self.config.num_classes if include_maps else 1
+            with stage("detection.forward"):
+                if rec["resize_args"] is not None:
+                    out = self._forward_resize(self.params, rec["pixels_dev"], *rec["resize_args"])
+                else:
+                    out = self._forward(self.params, rec["pixels_dev"])
+            return out, n_maps
+
+        def stitch_maps(rec, compact, n_maps):
+            preds: List[List[np.ndarray]] = []
+            out_wh = (self.processor_size[1], self.processor_size[0])
+            with stage("detection.stitch"):
+                for i, (idx, height) in enumerate(zip(rec["split_index"], rec["split_heights"])):
+                    # host-side bilinear upsample of the quantized 1/4-res map
+                    maps = [
+                        cv2.resize(
+                            np.ascontiguousarray(compact[i, :, :, k]), out_wh,
+                            interpolation=cv2.INTER_LINEAR,
+                        )
+                        for k in range(n_maps)
+                    ]
+                    if len(preds) <= idx:
+                        preds.append(maps)
+                    else:
+                        if height < proc_h:
+                            maps = [m[:height, :] for m in maps]
+                        preds[idx] = [np.vstack([old, new]) for old, new in zip(preds[idx], maps)]
+            return preds
+
+        def finish(rec):
+            """Fetch a dispatched batch's outputs and assemble the yield
+            value. Runs one batch BEHIND dispatch (pipelining), so stats
+            failures detected here fall back to the maps program on the same
+            device-resident pixels — no re-upload, one extra dispatch."""
+            sizes_out = [orig_sizes[j] for j in rec["batch_image_idxs"]]
+            if rec["mode"] == "stats":
+                stats_ok = False
+                try:
+                    with stage("detection.device_get"):
+                        stats, n_comp, n_raw, thr = jax.device_get(rec["out"])
+                        stats, n_comp, thr = np.asarray(stats), np.asarray(n_comp), np.asarray(thr)
+                        n_raw = np.asarray(n_raw)
+                    if (n_raw[: rec["n_pages"]] > rec["max_comps"]).any():
+                        # stats slots truncated (very noisy page): this batch
+                        # goes through the host path so no component is lost
+                        logger.warning(
+                            "page exceeded DETECTOR_MAX_COMPONENTS=%d (max %d); "
+                            "host postprocess for this batch", rec["max_comps"], int(n_raw.max()),
+                        )
+                    else:
+                        stats_ok = True
+                        self._stats_backoff = None  # success: reset to base
+                except Exception as e:  # backend/exec failure: host path still works
+                    self._note_stats_failure(e)
+                if stats_ok:
+                    pages = []
+                    for idx in range(rec["n_pages"]):
+                        heights = [h for i, h in zip(rec["split_index"], rec["split_heights"]) if i == idx]
+                        page_h = proc_h if len(heights) == 1 else proc_h * (len(heights) - 1) + min(heights[-1], proc_h)
+                        pages.append(
+                            {
+                                "stats": stats[idx],
+                                "n_comp": int(n_comp[idx]),
+                                "text_threshold": float(thr[idx]),
+                                "page_hw": (page_h, self.processor_size[1]),
+                            }
+                        )
+                    return pages, sizes_out
+                out, n_maps = dispatch_maps(rec)
+                with stage("detection.device_get"):
+                    compact = np.asarray(jax.device_get(out[: rec["n_real"], :, :, :n_maps]))
+                return stitch_maps(rec, compact, n_maps), sizes_out
+            with stage("detection.device_get"):
+                compact = np.asarray(jax.device_get(rec["out"][: rec["n_real"], :, :, : rec["n_maps"]]))
+            return stitch_maps(rec, compact, rec["n_maps"]), sizes_out
+
+        inflight = None
         for batch_idxs in tqdm(
             range(len(batches)), desc="Detecting bboxes", disable=self.disable_tqdm
         ):
@@ -215,12 +310,12 @@ class DetectionPredictor(BasePredictor):
                 split_heights.extend(heights)
 
             n_real = len(image_splits)
-            # bucket to the next power of two (≤ batch_size): static shapes for
-            # XLA with at most log2(batch_size) compiled programs
+            # bucket to the next power of two (≤ eff_batch): static shapes for
+            # XLA with at most log2(eff_batch) compiled programs
             bucket = 1
-            while bucket < min(n_real, batch_size):
+            while bucket < min(n_real, eff_batch):
                 bucket *= 2
-            rows = min(max(bucket, n_real), max(batch_size, n_real))
+            rows = min(max(bucket, n_real), max(eff_batch, n_real))
             rows = self.round_batch(rows)  # even blocks over the dp mesh
 
             device_resize = settings.DETECTOR_DEVICE_RESIZE
@@ -263,17 +358,27 @@ class DetectionPredictor(BasePredictor):
                     n_groups = 1
                     while n_groups < len(uniq):
                         n_groups *= 2
-                    # ship the weight stacks in bf16 (they're cast to the
-                    # compute dtype on device anyway): halves H2D bytes
-                    wdtype = jnp.bfloat16 if settings.DEVICE == "tpu" else np.float32
-                    Vs = np.zeros((n_groups, self.processor_size[0], Hb), np.float32)
-                    Hs = np.zeros((n_groups, self.processor_size[1], Wb), np.float32)
-                    for g, (h_src, w_src) in enumerate(uniq):
-                        V, Hm = double_resize_matrices((h_src, w_src), tuple(self.processor_size))
-                        Vs[g, :, :h_src] = V
-                        Hs[g, :, :w_src] = Hm
-                    Vs = Vs.astype(wdtype) if wdtype is not np.float32 else Vs
-                    Hs = Hs.astype(wdtype) if wdtype is not np.float32 else Hs
+                    # weight stacks live ON DEVICE, cached by (sizes, canvas):
+                    # a uniform corpus re-uses one upload across every batch
+                    # and every call. Shipped bf16 (cast to compute dtype on
+                    # device anyway): halves the one-time H2D bytes.
+                    mat_key = (tuple(uniq), n_groups, Hb, Wb)
+                    mats = self._resize_mat_cache.get(mat_key)
+                    if mats is None:
+                        wdtype = jnp.bfloat16 if settings.DEVICE == "tpu" else np.float32
+                        Vs = np.zeros((n_groups, self.processor_size[0], Hb), np.float32)
+                        Hs = np.zeros((n_groups, self.processor_size[1], Wb), np.float32)
+                        for g, (h_src, w_src) in enumerate(uniq):
+                            V, Hm = double_resize_matrices((h_src, w_src), tuple(self.processor_size))
+                            Vs[g, :, :h_src] = V
+                            Hs[g, :, :w_src] = Hm
+                        Vs = Vs.astype(wdtype) if wdtype is not np.float32 else Vs
+                        Hs = Hs.astype(wdtype) if wdtype is not np.float32 else Hs
+                        if len(self._resize_mat_cache) >= 32:
+                            self._resize_mat_cache.clear()  # wildly mixed corpus
+                        mats = (jax.device_put(Vs), jax.device_put(Hs))
+                        self._resize_mat_cache[mat_key] = mats
+                    Vs_d, Hs_d = mats
                     gid = np.zeros(rows, np.int32)
                     gid[:n_real] = [uniq.index(s) for s in sizes]
             else:
@@ -293,10 +398,26 @@ class DetectionPredictor(BasePredictor):
                 self._stats_skip -= 1  # retry the device path once this drains
                 device_stats = False
 
+            # enqueue the pixel upload once; both the stats program and the
+            # maps program (primary or fallback) read the same device buffers
+            with stage("detection.forward"):
+                pixels_dev = self.shard_pixels(pixels)
+                resize_args = (
+                    (Vs_d, Hs_d, self.shard_pixels(np.asarray(gid))) if device_resize else None
+                )
+            rec = {
+                "batch_image_idxs": batch_image_idxs,
+                "split_index": split_index,
+                "split_heights": split_heights,
+                "n_real": n_real,
+                "n_pages": len(batch_images),
+                "pixels_dev": pixels_dev,
+                "resize_args": resize_args,
+            }
+
             if device_stats:
                 # full postprocess reduction on device: the only D2H is a
                 # [pages, max_comps, 11] component-stats array (~KBs)
-                h4 = None  # head resolution rows, filled from the output
                 n_pages = len(batch_images)
                 K = max(splits_per_image[j] for j in batch_image_idxs)
                 P = 1
@@ -312,119 +433,69 @@ class DetectionPredictor(BasePredictor):
 
                 try:
                     with stage("detection.forward"):
-                        args = (self.shard_pixels(pixels),)
-                        if device_resize:
-                            args += (jnp.asarray(Vs), jnp.asarray(Hs), self.shard_pixels(np.asarray(gid)))
                         # head rows = proc_h / 4 (decode head stride)
                         h4 = self.processor_size[0] // 4
                         vr = np.ceil(valid_rows * h4 / proc_h).astype(np.int32)
                         # the first chunk of a page is never padding-cropped
                         vr[:, 0] = np.where(page_gather[:, 0] >= 0, h4, 0)
                         fwd = self._forward_resize_stats if device_resize else self._forward_stats
-                        stats_d, n_d, nraw_d, thr_d = fwd(
-                            self.params, *args, jnp.asarray(page_gather), jnp.asarray(vr),
+                        out = fwd(
+                            self.params, pixels_dev, *(resize_args or ()),
+                            jnp.asarray(page_gather), jnp.asarray(vr),
                             max_comps=max_comps,
                         )
-                    with stage("detection.device_get"):
-                        stats, n_comp, n_raw, thr = jax.device_get((stats_d, n_d, nraw_d, thr_d))
-                        stats, n_comp, thr = np.asarray(stats), np.asarray(n_comp), np.asarray(thr)
-                        n_raw = np.asarray(n_raw)
-                    if (n_raw[: len(batch_images)] > max_comps).any():
-                        # stats slots truncated (very noisy page): this batch
-                        # goes through the host path so no component is lost
-                        logger.warning(
-                            "page exceeded DETECTOR_MAX_COMPONENTS=%d (max %d); "
-                            "host postprocess for this batch", max_comps, int(n_raw.max()),
-                        )
-                        device_stats = False
-                    else:
-                        self._stats_backoff = None  # success: reset to base
-                except Exception as e:  # backend/compile failure: host path still works
-                    from surya_tpu.common.runtime import (
-                        note_execution_failure,
-                        recover_from_dispatch_corruption,
-                    )
+                    rec.update(mode="stats", out=out, max_comps=max_comps)
+                except Exception as e:  # trace/compile failure: host path still works
+                    self._note_stats_failure(e)
+                    device_stats = False
 
-                    if recover_from_dispatch_corruption(e):
-                        # in-process dispatch corruption (separated-consts
-                        # fastpath bug): caches are cleared, the next device
-                        # attempt re-traces cleanly — retry after one batch
-                        # instead of entering the long backoff
-                        logger.warning(
-                            "on-device detection postprocess hit dispatch "
-                            "corruption (%s); cleared jax caches, retrying "
-                            "the device path next batch", e,
-                        )
-                        self._stats_skip = 1
-                        device_stats = False
-                    else:
-                        backoff = self._stats_backoff or self.STATS_RETRY_AFTER
-                        logger.warning(
-                            "on-device detection postprocess failed (%s); host CRAFT for the "
-                            "next %d batches, then retrying the device path",
-                            e, backoff, exc_info=True,
-                        )
-                        # a poisoned persistent-cache artifact fails every
-                        # process that loads it — but most INVALID_ARGUMENTs
-                        # here are transient relay blips, and wiping GBs of
-                        # XLA artifacts for one of those costs minutes of
-                        # recompiles (ADVICE r3). note_execution_failure
-                        # wipes only on artifact-specific phrasings or on
-                        # repeat.
-                        note_execution_failure(e)
-                        self._stats_skip = backoff
-                        self._stats_backoff = min(backoff * 2, self.STATS_RETRY_MAX)
-                        device_stats = False
+            if not device_stats:
+                # maps stay uint8 all the way into the CRAFT postprocess — on
+                # a single-core host the float32 expansion of full-page maps
+                # costs more than the box extraction itself; the affinity
+                # channel is only shipped when the caller asked for the maps
+                out, n_maps = dispatch_maps(rec)
+                rec.update(mode="maps", out=out, n_maps=n_maps)
 
-            if device_stats:
-                pages = []
-                for idx in range(n_pages):
-                    heights = [h for i, h in zip(split_index, split_heights) if i == idx]
-                    page_h = proc_h if len(heights) == 1 else proc_h * (len(heights) - 1) + min(heights[-1], proc_h)
-                    pages.append(
-                        {
-                            "stats": stats[idx],
-                            "n_comp": int(n_comp[idx]),
-                            "text_threshold": float(thr[idx]),
-                            "page_hw": (page_h, self.processor_size[1]),
-                        }
-                    )
-                yield pages, [orig_sizes[j] for j in batch_image_idxs]
-                continue
+            # pipelining: fetch the PREVIOUS batch only now that this one is
+            # enqueued — its H2D + compute run while the host postprocesses
+            if inflight is not None:
+                yield finish(inflight)
+            inflight = rec
 
-            # maps stay uint8 all the way into the CRAFT postprocess — on a
-            # single-core host the float32 expansion of full-page maps costs
-            # more than the box extraction itself; the affinity channel is
-            # only shipped/materialized when the caller asked for the maps
-            n_maps = self.config.num_classes if include_maps else 1
-            with stage("detection.forward"):
-                if device_resize:
-                    out = self._forward_resize(
-                        self.params, self.shard_pixels(pixels), jnp.asarray(Vs), jnp.asarray(Hs),
-                        self.shard_pixels(np.asarray(gid)),
-                    )
-                else:
-                    out = self._forward(self.params, self.shard_pixels(pixels))
-            with stage("detection.device_get"):
-                compact = np.asarray(jax.device_get(out[:n_real, :, :, :n_maps]))
+        if inflight is not None:
+            yield finish(inflight)
 
-            preds: List[List[np.ndarray]] = []
-            out_wh = (self.processor_size[1], self.processor_size[0])
-            with stage("detection.stitch"):
-                for i, (idx, height) in enumerate(zip(split_index, split_heights)):
-                    # host-side bilinear upsample of the quantized 1/4-res map
-                    maps = [
-                        cv2.resize(
-                            np.ascontiguousarray(compact[i, :, :, k]), out_wh,
-                            interpolation=cv2.INTER_LINEAR,
-                        )
-                        for k in range(n_maps)
-                    ]
-                    if len(preds) <= idx:
-                        preds.append(maps)
-                    else:
-                        if height < proc_h:
-                            maps = [m[:height, :] for m in maps]
-                        preds[idx] = [np.vstack([old, new]) for old, new in zip(preds[idx], maps)]
+    def _note_stats_failure(self, e: Exception):
+        """Failure bookkeeping for the on-device postprocess path: transient
+        dispatch corruption retries next batch; anything else routes the next
+        N batches to host CRAFT with exponential backoff."""
+        from surya_tpu.common.runtime import (
+            note_execution_failure,
+            recover_from_dispatch_corruption,
+        )
 
-            yield preds, [orig_sizes[j] for j in batch_image_idxs]
+        if recover_from_dispatch_corruption(e):
+            # in-process dispatch corruption (separated-consts fastpath bug):
+            # caches are cleared, the next device attempt re-traces cleanly —
+            # retry after one batch instead of entering the long backoff
+            logger.warning(
+                "on-device detection postprocess hit dispatch corruption (%s); "
+                "cleared jax caches, retrying the device path next batch", e,
+            )
+            self._stats_skip = 1
+        else:
+            backoff = self._stats_backoff or self.STATS_RETRY_AFTER
+            logger.warning(
+                "on-device detection postprocess failed (%s); host CRAFT for the "
+                "next %d batches, then retrying the device path",
+                e, backoff, exc_info=True,
+            )
+            # a poisoned persistent-cache artifact fails every process that
+            # loads it — but most INVALID_ARGUMENTs here are transient relay
+            # blips, and wiping GBs of XLA artifacts for one of those costs
+            # minutes of recompiles (ADVICE r3). note_execution_failure wipes
+            # only on artifact-specific phrasings or on repeat.
+            note_execution_failure(e)
+            self._stats_skip = backoff
+            self._stats_backoff = min(backoff * 2, self.STATS_RETRY_MAX)

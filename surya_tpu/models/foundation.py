@@ -189,6 +189,7 @@ def decode_chunk(
     mesh=None,  # shard_map the decode kernel over this mesh (multi-chip)
     run=None,  # [B] int32 consecutive-equal-token run length (device repeat stop)
     repeat_window: int = 0,  # stop a slot once run >= window (0 = disabled)
+    pin_decode: bool = False,  # ignore EOS/repeat: slots decode until the host kills them
 ):
     """Run up to num_steps greedy decode steps entirely on device.
 
@@ -252,7 +253,10 @@ def decode_chunk(
         bbox_buf = bbox_buf.at[:, step].set(jnp.where(active[:, None], bbox, 0))
 
         advance = advance + active.astype(jnp.int32)
-        next_active = active & ~emitted_done
+        # pinned mode (settings.RECOGNITION_PIN_DECODE): EOS never stops a
+        # slot — the host's budget scan kills it via the next dispatch's
+        # kill mask, so every prompt emits exactly its token budget
+        next_active = active if pin_decode else (active & ~emitted_done)
         # the stop-step token is recorded above with its score, exactly where
         # the host scan cuts, so the host-visible output is unchanged
         run_state = jnp.where(

@@ -82,6 +82,10 @@ class RecognitionPredictor(BasePredictor):
     batch_size = settings.RECOGNITION_BATCH_SIZE
     default_batch_sizes = {"cpu": 8, "tpu": 128}
     min_prefill_ratio: float = 0.2
+    # fuse the first decode chunk into a prefill dispatch when no further
+    # prefill can follow (saves one dispatch per refill round). Off gives an
+    # honest prefill-vs-decode wall split for profiling/bench audit.
+    fuse_decode: bool = True
     tasks = {
         TaskNames.ocr_with_boxes: {"needs_bboxes": True, "img_size": (1024, 256), "max_tokens": 224},
         TaskNames.ocr_without_boxes: {"needs_bboxes": False, "img_size": (1024, 256), "max_tokens": 224},
@@ -149,10 +153,10 @@ class RecognitionPredictor(BasePredictor):
 
         nop_id = self.processor.no_output_token
 
-        def _seed_slots(last_token, active, run, tok, slot_idx, row_valid):
+        def _seed_slots(last_token, active, run, tok, slot_idx, row_valid, pin=False):
             """Device-side mirror of the host's prefill bookkeeping: seed the
             newly filled slots' scheduler state from prefill token 0."""
-            done0 = (tok == cfg.eos_token_id) | (tok == nop_id)
+            done0 = jnp.zeros_like(tok, bool) if pin else (tok == cfg.eos_token_id) | (tok == nop_id)
             lt_new = jnp.where((tok == cfg.eos_token_id) | (tok == cfg.pad_token_id), cfg.pad_token_id, tok)
             last_token = last_token.at[slot_idx].set(jnp.where(row_valid, lt_new, last_token[slot_idx]))
             active = active.at[slot_idx].set(jnp.where(row_valid, ~done0, active[slot_idx]))
@@ -170,10 +174,10 @@ class RecognitionPredictor(BasePredictor):
         # through every dispatch, so chunk N+1 can launch before chunk N's
         # packed outputs are fetched — the fetch (a full tunnel round trip)
         # overlaps device compute instead of serializing the decode loop
-        @partial(jax.jit, donate_argnums=(1, 11, 12, 13), static_argnames=("kv_range", "win_range"))
+        @partial(jax.jit, donate_argnums=(1, 11, 12, 13), static_argnames=("kv_range", "win_range", "pin"))
         def prefill_fn(params, cache, patches, enc_args, llm_h_idx, llm_w_idx,
                        input_ids, img_gather, seq_lens, slot_idx, row_valid,
-                       last_token, active, run, kill, kv_range, win_range):
+                       last_token, active, run, kill, kv_range, win_range, pin=False):
             last_token, active = _apply_kill(last_token, active, kill)
             patches = processor.normalize_patch_rows(patches, settings.MODEL_DTYPE)
             cache, tok, score, bbox = foundation.prefill(
@@ -186,22 +190,22 @@ class RecognitionPredictor(BasePredictor):
             packed = jnp.concatenate(
                 [tok.astype(jnp.float32)[:, None], score[:, None], bbox.astype(jnp.float32)], axis=-1
             )
-            last_token, active, run = _seed_slots(last_token, active, run, tok, slot_idx, row_valid)
+            last_token, active, run = _seed_slots(last_token, active, run, tok, slot_idx, row_valid, pin=pin)
             return cache, packed, last_token, active, run
 
-        @partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(1, 2, 3, 4))
-        def decode_fn(params, cache, last_token, active, run, kill, num_steps):
+        @partial(jax.jit, static_argnames=("num_steps", "pin"), donate_argnums=(1, 2, 3, 4))
+        def decode_fn(params, cache, last_token, active, run, kill, num_steps, pin=False):
             last_token, active = _apply_kill(last_token, active, kill)
             cache, toks, scores, bboxes, last_token, active, run = foundation.decode_chunk(
                 params, cfg, cache, last_token, active, num_steps, use_pallas=use_pallas, mesh=mesh,
-                run=run, repeat_window=REPEAT_WINDOW,
+                run=run, repeat_window=0 if pin else REPEAT_WINDOW, pin_decode=pin,
             )
             return cache, _pack(toks, scores, bboxes), last_token, active, run
 
-        @partial(jax.jit, donate_argnums=(1, 11, 12, 13), static_argnames=("kv_range", "win_range", "num_steps"))
+        @partial(jax.jit, donate_argnums=(1, 11, 12, 13), static_argnames=("kv_range", "win_range", "num_steps", "pin"))
         def prefill_decode_fn(params, cache, patches, enc_args, llm_h_idx, llm_w_idx,
                               input_ids, img_gather, seq_lens, slot_idx, row_valid,
-                              last_token, active, run, kill, kv_range, win_range, num_steps):
+                              last_token, active, run, kill, kv_range, win_range, num_steps, pin=False):
             """Fused prefill + decode chunk: saves one dispatch per refill
             round when the scheduler knows decode comes next."""
             last_token, active = _apply_kill(last_token, active, kill)
@@ -214,10 +218,10 @@ class RecognitionPredictor(BasePredictor):
             prefill_packed = jnp.concatenate(
                 [tok.astype(jnp.float32)[:, None], score[:, None], bbox.astype(jnp.float32)], axis=-1
             )
-            last_token, active, run = _seed_slots(last_token, active, run, tok, slot_idx, row_valid)
+            last_token, active, run = _seed_slots(last_token, active, run, tok, slot_idx, row_valid, pin=pin)
             cache, toks, scores, bboxes, last_token, active, run = foundation.decode_chunk(
                 params, cfg, cache, last_token, active, num_steps, use_pallas=use_pallas, mesh=mesh,
-                run=run, repeat_window=REPEAT_WINDOW,
+                run=run, repeat_window=0 if pin else REPEAT_WINDOW, pin_decode=pin,
             )
             return cache, prefill_packed, _pack(toks, scores, bboxes), last_token, active, run
 
@@ -344,6 +348,10 @@ class RecognitionPredictor(BasePredictor):
         B = recognition_batch_size or self.get_batch_size()
         cfg = self.config
         eos, pad, nop = cfg.eos_token_id, cfg.pad_token_id, self.processor.no_output_token
+        # pinned-workload mode: stops come ONLY from the per-prompt token
+        # budget — EOS/no-output/repeat are ignored on device and host, so
+        # every prompt decodes exactly max_tokens tokens (bench comparability)
+        pin = bool(settings.RECOGNITION_PIN_DECODE)
 
         queue = deque()
         max_tokens = {}
@@ -485,12 +493,20 @@ class RecognitionPredictor(BasePredictor):
             ctoks = toks[act, :K]
             prior = np.array([len(predicted_tokens[slot_prompt[s]]) for s in act])
             budget = np.array([max_tokens[slot_prompt[s]] for s in act])
-            tails = np.full((A, W - 1), -1, np.int32)
-            for i, s in enumerate(act):
-                h = predicted_tokens[slot_prompt[s]][-(W - 1):]
-                if h:
-                    tails[i, -len(h):] = h
-            any_stop, cut = chunk_stop_scan(ctoks, prior, budget, tails, eos, pad, W)
+            if pin:
+                # budget is the only stop; the device never deactivates, so
+                # every stop is host-only (kill mask on the next dispatch)
+                steps = prior[:, None] + np.arange(1, K + 1)[None, :]
+                hit = steps >= budget[:, None]
+                any_stop = hit.any(axis=1)
+                cut = np.where(any_stop, hit.argmax(axis=1), K - 1)
+            else:
+                tails = np.full((A, W - 1), -1, np.int32)
+                for i, s in enumerate(act):
+                    h = predicted_tokens[slot_prompt[s]][-(W - 1):]
+                    if h:
+                        tails[i, -len(h):] = h
+                any_stop, cut = chunk_stop_scan(ctoks, prior, budget, tails, eos, pad, W)
             for i, s in enumerate(act):
                 pid = slot_prompt[s]
                 k = int(cut[i]) + 1
@@ -500,7 +516,7 @@ class RecognitionPredictor(BasePredictor):
                 if any_stop[i]:
                     # EOS/pad at the cut -> the device's own tracking stopped
                     # the slot; budget/repeat stops need an explicit kill
-                    finish(s, device_knows=int(ctoks[i, int(cut[i])]) in (eos, pad))
+                    finish(s, device_knows=(not pin) and int(ctoks[i, int(cut[i])]) in (eos, pad))
 
         def build_wave(slot_budget: int):
             """Pop prompts from the queue under slot + patch budgets and pack
@@ -552,7 +568,7 @@ class RecognitionPredictor(BasePredictor):
                 predicted_tokens[pid].append(t)
                 scores[pid].append(0.0 if t in (eos, pad) else float(score0[row]))
                 bboxes[pid].append(bbox0[row : row + 1])
-                if t in (eos, nop):
+                if not pin and t in (eos, nop):
                     finish(slot, device_knows=True)
 
         # ONE dispatch stays in flight: its packed outputs are fetched only
@@ -645,7 +661,7 @@ class RecognitionPredictor(BasePredictor):
                 # fuse the following decode chunk into this dispatch when no
                 # further prefill can come next (dispatch overhead is large
                 # on remote-attached TPUs)
-                fuse = self._prefill_decode_fn is not None and (
+                fuse = self.fuse_decode and self._prefill_decode_fn is not None and (
                     not queue or (len(frees) - len(round_prompts)) / n_slots <= self.min_prefill_ratio
                 )
 
@@ -683,12 +699,12 @@ class RecognitionPredictor(BasePredictor):
                         cache, packed, decode_packed, lt_dev, act_dev, run_dev = self._prefill_decode_fn(
                             self.params, cache, *args, lt_dev, act_dev, run_dev, kill,
                             kv_range=layout.kv_range, win_range=layout.win_range,
-                            num_steps=self.decode_chunk,
+                            num_steps=self.decode_chunk, pin=pin,
                         )
                     else:
                         cache, packed, lt_dev, act_dev, run_dev = self._prefill_fn(
                             self.params, cache, *args, lt_dev, act_dev, run_dev, kill,
-                            kv_range=layout.kv_range, win_range=layout.win_range,
+                            kv_range=layout.kv_range, win_range=layout.win_range, pin=pin,
                         )
                     # dispatch is in flight: build the NEXT wave on the host
                     # while the device chews this one (sized to this wave —
@@ -713,7 +729,7 @@ class RecognitionPredictor(BasePredictor):
                 with stage("recognition.decode"):
                     cache, packed, lt_dev, act_dev, run_dev = self._decode_fn(
                         self.params, cache, lt_dev, act_dev, run_dev, take_kill(),
-                        num_steps=self.decode_chunk,
+                        num_steps=self.decode_chunk, pin=pin,
                     )
                 drain_inflight()
                 inflight = ("decode", packed)

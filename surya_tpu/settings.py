@@ -87,6 +87,10 @@ class Settings(BaseModel):
     # (ops/connected_components.py); D2H is component stats, not heatmaps
     DETECTOR_ON_DEVICE_POSTPROCESS: Optional[bool] = None
     DETECTOR_MAX_COMPONENTS: int = 512
+    # rows per detection dispatch (None = auto: 8 on tpu). Smaller than the
+    # packing batch so a multi-page call pipelines: host prepare + H2D of
+    # batch k+1 overlap device compute of batch k (one dispatch in flight)
+    DETECTOR_PIPELINE_BATCH: Optional[int] = None
 
     # Text recognition
     RECOGNITION_MODEL_CHECKPOINT: str = "s3://text_recognition/2025_05_16"
@@ -95,6 +99,11 @@ class Settings(BaseModel):
     # each decode step streams from HBM (decode is weight-bandwidth-bound)
     RECOGNITION_WEIGHT_QUANTIZE: bool = False
     RECOGNITION_MAX_TOKENS: Optional[int] = None
+    # pinned-workload mode (benchmarking): every prompt decodes EXACTLY its
+    # max_tokens budget — EOS/no-output/repeat stops are ignored on both the
+    # device and the host scan. Makes throughput numbers invariant to what
+    # the (possibly random) weights emit, so rounds are comparable.
+    RECOGNITION_PIN_DECODE: bool = False
     RECOGNITION_BATCH_SIZE: Optional[int] = None  # default 8 on cpu, 256 on tpu
     RECOGNITION_BENCH_DATASET_NAME: str = "vikp/rec_bench"
     RECOGNITION_PAD_VALUE: int = 255
