@@ -20,6 +20,7 @@ for XLA:
 
 from __future__ import annotations
 
+import threading
 from collections import deque
 from dataclasses import dataclass
 from concurrent.futures import ThreadPoolExecutor
@@ -987,10 +988,24 @@ class RecognitionPredictor(BasePredictor):
         surface; its closest flow is surya/recognition/__init__.py:773-942).
 
         `task_names` may be an iterable parallel to `images`; default
-        ocr_with_boxes."""
+        ocr_with_boxes.
+
+        Failure semantics: if the run fails mid-stream (a feeder/detection
+        error, a device error), every page that COMPLETED before the failure
+        is still yielded in order, then the original exception is raised to
+        the consumer. Abandoning the generator (close/GC) stops the feeder at
+        the next wave boundary; prompts already dispatched finish in the
+        background and are discarded.
+
+        Memory: with an unbounded input and a slow consumer the stream holds
+        at most RECOGNITION_STREAM_BUFFER_PAGES finished-but-unconsumed pages
+        (default 4x the detection group size); past that, the feeder stops
+        accepting new pages until the consumer catches up, so host memory is
+        bounded by the buffer — not by the input length."""
         import queue as queue_mod
 
         G = group_pages or settings.RECOGNITION_DET_PIPELINE_PAGES or 4
+        max_buffer = settings.RECOGNITION_STREAM_BUFFER_PAGES or 4 * G
         self.last_decoded_tokens = 0
 
         img_iter = iter(images)
@@ -1024,6 +1039,12 @@ class RecognitionPredictor(BasePredictor):
             ), pages
 
         evq: "queue_mod.Queue" = queue_mod.Queue()
+        # backpressure + abandonment state shared between the consumer (this
+        # generator) and the loop thread's feeder
+        pushed = {"n": 0}  # pages handed to the scheduler
+        consumed = {"n": 0}  # pages yielded to the caller
+        closed = {"flag": False}  # consumer abandoned the generator
+        drained = threading.Event()  # consumer made progress
 
         def push_pages(flat, pages, tasks):
             """Split a group flat into per-page records (consumed by the main
@@ -1041,6 +1062,7 @@ class RecognitionPredictor(BasePredictor):
                     "n": n,
                 })
                 start += n
+            pushed["n"] += len(recs)
             evq.put(("pages", recs))
 
         first_pages, first_tasks = next_group()
@@ -1059,9 +1081,26 @@ class RecognitionPredictor(BasePredictor):
             state["tasks"] = nxt_tasks
 
         def feeder(block):
+            if closed["flag"]:
+                # consumer abandoned the generator: stop pulling the input
+                # iterator at this wave boundary (in-flight prompts finish
+                # and are discarded by the dying consumer)
+                return FEED_DONE
             fut = state["fut"]
             if fut is None:
                 return FEED_DONE
+            if pushed["n"] - consumed["n"] >= max_buffer:
+                # backpressure: the consumer is behind by a full buffer.
+                # Non-blocking calls just decline; a BLOCKING call means the
+                # scheduler is idle (every dispatched prompt already
+                # finished), so waiting on the consumer here cannot deadlock.
+                if not block:
+                    return None
+                while pushed["n"] - consumed["n"] >= max_buffer and not closed["flag"]:
+                    drained.wait(0.1)
+                    drained.clear()
+                if closed["flag"]:
+                    return FEED_DONE
             if not block and not fut.done():
                 return None
             flat, pages = fut.result()
@@ -1127,6 +1166,7 @@ class RecognitionPredictor(BasePredictor):
             page_recs[p] = None  # release page memory
             return result
 
+        error: Optional[BaseException] = None
         try:
             while True:
                 while not ended:
@@ -1147,9 +1187,14 @@ class RecognitionPredictor(BasePredictor):
                         outputs[ev[1]] = (ev[2], ev[3], ev[4])
                     else:  # end
                         if ev[1] is not None:
-                            raise ev[1]
-                        ended = True
-                        if leftovers:
+                            # deferred: pages that completed BEFORE the
+                            # failure still yield in order below, then the
+                            # original exception surfaces to the consumer
+                            error = ev[1]
+                            ended = True
+                        else:
+                            ended = True
+                        if error is None and leftovers:
                             # mixed-task stream whose later prompts outgrew
                             # the cache bound: finish them in a follow-up run
                             sub = {
@@ -1167,17 +1212,27 @@ class RecognitionPredictor(BasePredictor):
                         break
                 if next_yield >= len(page_recs):
                     if ended:
+                        if error is not None:
+                            raise error
                         return
                     continue
                 if not page_ready(next_yield):
                     if ended:
+                        if error is not None:
+                            # the failure left this page incomplete: every
+                            # completed page has been yielded — surface it
+                            raise error
                         raise RuntimeError(
                             f"stream ended with page {next_yield} incomplete (bug)"
                         )
                     continue
                 yield next_yield, assemble(next_yield)
                 next_yield += 1
+                consumed["n"] += 1
+                drained.set()
         finally:
+            closed["flag"] = True
+            drained.set()
             loop_fut.cancel()
             loop_thread.shutdown(wait=True)
             det_worker.shutdown(wait=True)

@@ -105,6 +105,9 @@ class Settings(BaseModel):
     # the (possibly random) weights emit, so rounds are comparable.
     RECOGNITION_PIN_DECODE: bool = False
     RECOGNITION_BATCH_SIZE: Optional[int] = None  # default 8 on cpu, 256 on tpu
+    # stream() backpressure: max finished-but-unconsumed pages held before
+    # the feeder stops accepting new pages (None = 4x the detection group)
+    RECOGNITION_STREAM_BUFFER_PAGES: Optional[int] = None
     RECOGNITION_BENCH_DATASET_NAME: str = "vikp/rec_bench"
     RECOGNITION_PAD_VALUE: int = 255
     # Noto fonts for the PIL debug text renderer (downloaded on demand;

@@ -289,3 +289,94 @@ def test_all_blank_pages_same_shape_both_paths(tiny_pipeline):
 
     assert len(seq) == len(piped) == len(pages)
     assert all(r.text_lines == [] for r in seq + piped)
+
+
+def test_stream_error_yields_completed_pages(tiny_pipeline):
+    """Failure semantics (README serving section): a mid-stream failure still
+    yields every page that COMPLETED before it, in order and equal to the
+    batch result, then surfaces the ORIGINAL exception to the consumer."""
+    import threading
+
+    from surya_tpu.settings import settings
+
+    det, rec = tiny_pipeline
+    pages = _pages(4)
+    group1_consumed = threading.Event()
+    calls = {"n": 0}
+
+    class Boom(RuntimeError):
+        pass
+
+    class FailingDet:
+        """Detects group 1 normally; group 2 raises — but only after the
+        consumer has received group 1, so 'completed before the failure' is
+        deterministic."""
+
+        def __call__(self, images, batch_size=None):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                group1_consumed.wait(60)
+                raise Boom("detector died")
+            return det(images, batch_size=batch_size)
+
+    got = []
+    old_max = settings.RECOGNITION_MAX_TOKENS
+    settings.RECOGNITION_MAX_TOKENS = 8
+    try:
+        with pytest.raises(Boom):
+            for i, res in rec.stream(iter(pages), FailingDet(), group_pages=2):
+                got.append((i, res))
+                if len(got) == 2:
+                    group1_consumed.set()
+        batch = rec([p.copy() for p in pages[:2]], det_predictor=det)
+    finally:
+        settings.RECOGNITION_MAX_TOKENS = old_max
+        group1_consumed.set()
+
+    assert [i for i, _ in got] == [0, 1]
+    assert _flatten([r for _, r in got]) == _flatten(batch)
+
+
+def test_stream_backpressure_bounds_buffer(tiny_pipeline):
+    """An unbounded input with a slow consumer must not buffer unboundedly:
+    the feeder stops pulling once finished-but-unconsumed pages reach
+    RECOGNITION_STREAM_BUFFER_PAGES, and abandoning the generator stops the
+    input pull at the next wave boundary."""
+    import time
+
+    from surya_tpu.settings import settings
+
+    det, rec = tiny_pipeline
+    template = _pages(1)[0]
+    pulled = {"n": 0}
+
+    def endless():
+        while True:
+            pulled["n"] += 1
+            yield template.copy()
+
+    old_max = settings.RECOGNITION_MAX_TOKENS
+    old_buf = settings.RECOGNITION_STREAM_BUFFER_PAGES
+    settings.RECOGNITION_MAX_TOKENS = 8
+    settings.RECOGNITION_STREAM_BUFFER_PAGES = 3
+    CONSUME, BUF = 3, 3
+    try:
+        stream = rec.stream(endless(), det, group_pages=1)
+        got = [next(stream) for _ in range(CONSUME)]
+        # bound: consumed + buffer + current group + one speculative
+        # detection group (G=1 each), with one group of slack for the pull
+        # that may be mid-flight when the check runs
+        assert pulled["n"] <= CONSUME + BUF + 3, pulled["n"]
+        stream.close()
+        # the feeder sees the closed flag at the next wave boundary; after
+        # the in-flight group settles, the input is never pulled again
+        time.sleep(1.0)
+        settled = pulled["n"]
+        time.sleep(1.0)
+        assert pulled["n"] == settled
+    finally:
+        settings.RECOGNITION_MAX_TOKENS = old_max
+        settings.RECOGNITION_STREAM_BUFFER_PAGES = old_buf
+
+    assert [i for i, _ in got] == list(range(CONSUME))
+    assert all(len(r.text_lines) > 0 for _, r in got)
