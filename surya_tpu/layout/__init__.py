@@ -125,7 +125,14 @@ class LayoutPredictor(BasePredictor):
             orig_sizes = [im.size for im in batch_images]
 
             pixels = np.stack([self.prepare_image(im) for im in batch_images])
-            pixels = self.pad_to_batch_size(pixels, batch_size)
+            # bucket rows to the next power of two (<= batch_size): a partial
+            # final batch (e.g. 8 pages under bs=16) must not pay the full
+            # batch's Swin encode + AR decode; at most log2(bs) programs
+            rows = 1
+            while rows < min(current, batch_size):
+                rows *= 2
+            rows = self.round_batch(max(rows, min(current, batch_size)))
+            pixels = self.pad_to_batch_size(pixels, max(rows, current))
 
             packed = np.asarray(self._generate(self.params, self.shard_pixels(pixels)))[:current]
             boxes = packed[..., :7]

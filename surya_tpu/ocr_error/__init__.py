@@ -107,13 +107,19 @@ class OCRErrorPredictor(BasePredictor):
             mask = np.asarray(attention_mask[lo:hi], np.int32)
             current = ids.shape[0]
 
-            # static shapes: pad length to a bucket and rows to batch size
+            # static shapes: pad length to a bucket and rows to the next
+            # power-of-two bucket (<= batch_size) — a partial final batch
+            # must not pay the full batch's forward
             L = next((b for b in SEQ_BUCKETS if b >= ids.shape[1]), SEQ_BUCKETS[-1])
             if ids.shape[1] < L:
                 ids = np.pad(ids, ((0, 0), (0, L - ids.shape[1])))
                 mask = np.pad(mask, ((0, 0), (0, L - mask.shape[1])))
-            ids = self.pad_to_batch_size(ids, batch_size)
-            mask = self.pad_to_batch_size(mask, batch_size)
+            rows = 1
+            while rows < min(current, batch_size):
+                rows *= 2
+            rows = self.round_batch(rows)
+            ids = self.pad_to_batch_size(ids, max(rows, current))
+            mask = self.pad_to_batch_size(mask, max(rows, current))
 
             logits = self._forward(self.params, self.shard_pixels(ids), self.shard_pixels(mask))
             predictions.extend(np.asarray(logits).argmax(axis=1)[:current].tolist())

@@ -236,12 +236,19 @@ class TableRecPredictor(BasePredictor):
                 q["polygon"] = resize_polygon(q["polygon"], im.size, (BOX_DIM, BOX_DIM))
 
             pixels = np.stack([self.prepare_image(im) for im in batch_images])
-            pixels = self.pad_to_batch_size(pixels, batch_size)
+            # bucket rows to the next power of two (<= batch_size): a partial
+            # final batch must not pay the full batch's Swin encode + AR
+            # row/col pass; at most log2(bs) compiled programs
+            rows = 1
+            while rows < min(current, batch_size):
+                rows *= 2
+            rows = self.round_batch(rows)
+            pixels = self.pad_to_batch_size(pixels, max(rows, current))
             enc_dev = self._encode(self.params, self.shard_pixels(pixels))
 
             vectors = self._build_query_vectors(batch_query_items)
             rowcol_predictions = self._run_pass(
-                enc_dev, np.arange(len(vectors), dtype=np.int32), vectors, batch_size,
+                enc_dev, np.arange(len(vectors), dtype=np.int32), vectors, rows,
                 script=getattr(self, "_script_rowcol", None),
             )
 
