@@ -72,6 +72,11 @@ class LayoutPredictor(BasePredictor):
 
         @jax.jit
         def generate(params, pixels_u8):
+            if pixels_u8.shape[-1] == 1:
+                # grayscale ship: H2D is the dominant wall on a tunnel-
+                # attached chip; R==G==B pages ship one channel (3x fewer
+                # bytes) and are tiled back here — bit-identical compute
+                pixels_u8 = jnp.concatenate([pixels_u8] * 3, axis=-1)
             x = pixels_u8.astype(settings.MODEL_DTYPE) / 255.0
             x = (x - IMAGE_MEAN) / IMAGE_STD
             boxes, logits, valid = layout_model.generate(params, cfg, x)
@@ -133,6 +138,11 @@ class LayoutPredictor(BasePredictor):
                 rows *= 2
             rows = self.round_batch(max(rows, min(current, batch_size)))
             pixels = self.pad_to_batch_size(pixels, max(rows, current))
+            # grayscale pages (R==G==B, the common case for documents) ship
+            # one channel; the device tiles it back (see generate above)
+            one = pixels[..., :1]
+            if np.array_equal(np.broadcast_to(one, pixels.shape), pixels):
+                pixels = np.ascontiguousarray(one)
 
             packed = np.asarray(self._generate(self.params, self.shard_pixels(pixels)))[:current]
             boxes = packed[..., :7]

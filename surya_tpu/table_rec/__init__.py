@@ -96,6 +96,10 @@ class TableRecPredictor(BasePredictor):
 
         @jax.jit
         def encode(params, pixels_u8):
+            if pixels_u8.shape[-1] == 1:
+                # grayscale ship: R==G==B crops send one channel over the
+                # tunnel (3x fewer H2D bytes), tiled back on device
+                pixels_u8 = jnp.concatenate([pixels_u8] * 3, axis=-1)
             x = pixels_u8.astype(settings.MODEL_DTYPE) / 255.0
             x = (x - IMAGE_MEAN) / IMAGE_STD
             return table_rec_model.encode(params, cfg, x)
@@ -244,6 +248,10 @@ class TableRecPredictor(BasePredictor):
                 rows *= 2
             rows = self.round_batch(rows)
             pixels = self.pad_to_batch_size(pixels, max(rows, current))
+            # grayscale crops ship one channel (see encode above)
+            one = pixels[..., :1]
+            if np.array_equal(np.broadcast_to(one, pixels.shape), pixels):
+                pixels = np.ascontiguousarray(one)
             enc_dev = self._encode(self.params, self.shard_pixels(pixels))
 
             vectors = self._build_query_vectors(batch_query_items)

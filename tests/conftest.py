@@ -58,6 +58,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _test_cache_dir())
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# cache even quick-compiling programs: the suite compiles hundreds of small
+# XLA:CPU programs (tiny-config predictors) whose compile time is individually
+# below the 1s default threshold but collectively minutes on this 1-vCPU box
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
 
 # Stubs for deps the reference package imports but this image lacks
 # (dotenv, pydantic_settings) — only used by the torch-parity tests that
