@@ -465,7 +465,8 @@ def measure():
             from surya_tpu.layout import LayoutPredictor
 
             lay = LayoutPredictor()
-            lay_pages = pages[:8]
+            lay_pages = pages  # full 16-page batch: throughput metric like
+            # the reference's dataset run (batch bs=16 amortizes the AR loop)
             lay(lay_pages)  # warm
             lay_s, _ = best_of(lambda: lay(lay_pages), 2, "layout")
             record(layout_s_per_image=round(lay_s / len(lay_pages), 4))
