@@ -310,12 +310,13 @@ class DetectionPredictor(BasePredictor):
                 split_heights.extend(heights)
 
             n_real = len(image_splits)
-            # bucket to the next power of two (≤ eff_batch): static shapes for
-            # XLA with at most log2(eff_batch) compiled programs
+            # bucket to the next power of two (≤ batch_size, NOT eff_batch:
+            # a single tall page can exceed the pipeline cap, and its split
+            # count must land in a shared bucket, not an exact-size program)
             bucket = 1
-            while bucket < min(n_real, eff_batch):
+            while bucket < min(n_real, batch_size):
                 bucket *= 2
-            rows = min(max(bucket, n_real), max(eff_batch, n_real))
+            rows = min(max(bucket, n_real), max(batch_size, n_real))
             rows = self.round_batch(rows)  # even blocks over the dp mesh
 
             device_resize = settings.DETECTOR_DEVICE_RESIZE

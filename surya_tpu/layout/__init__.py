@@ -130,19 +130,10 @@ class LayoutPredictor(BasePredictor):
             orig_sizes = [im.size for im in batch_images]
 
             pixels = np.stack([self.prepare_image(im) for im in batch_images])
-            # bucket rows to the next power of two (<= batch_size): a partial
-            # final batch (e.g. 8 pages under bs=16) must not pay the full
-            # batch's Swin encode + AR decode; at most log2(bs) programs
-            rows = 1
-            while rows < min(current, batch_size):
-                rows *= 2
-            rows = self.round_batch(max(rows, min(current, batch_size)))
-            pixels = self.pad_to_batch_size(pixels, max(rows, current))
-            # grayscale pages (R==G==B, the common case for documents) ship
-            # one channel; the device tiles it back (see generate above)
-            one = pixels[..., :1]
-            if np.array_equal(np.broadcast_to(one, pixels.shape), pixels):
-                pixels = np.ascontiguousarray(one)
+            pixels = self.pad_to_batch_size(pixels, self.bucket_rows(current, batch_size))
+            # grayscale pages ship one channel; the device tiles it back
+            # (see generate above)
+            pixels = self.gray_ship(pixels)
 
             packed = np.asarray(self._generate(self.params, self.shard_pixels(pixels)))[:current]
             boxes = packed[..., :7]

@@ -107,19 +107,15 @@ class OCRErrorPredictor(BasePredictor):
             mask = np.asarray(attention_mask[lo:hi], np.int32)
             current = ids.shape[0]
 
-            # static shapes: pad length to a bucket and rows to the next
-            # power-of-two bucket (<= batch_size) — a partial final batch
-            # must not pay the full batch's forward
+            # static shapes: pad length to a bucket and rows to a power-of-
+            # two bucket (partial final batches must not pay a full forward)
             L = next((b for b in SEQ_BUCKETS if b >= ids.shape[1]), SEQ_BUCKETS[-1])
             if ids.shape[1] < L:
                 ids = np.pad(ids, ((0, 0), (0, L - ids.shape[1])))
                 mask = np.pad(mask, ((0, 0), (0, L - mask.shape[1])))
-            rows = 1
-            while rows < min(current, batch_size):
-                rows *= 2
-            rows = self.round_batch(rows)
-            ids = self.pad_to_batch_size(ids, max(rows, current))
-            mask = self.pad_to_batch_size(mask, max(rows, current))
+            rows = self.bucket_rows(current, batch_size)
+            ids = self.pad_to_batch_size(ids, rows)
+            mask = self.pad_to_batch_size(mask, rows)
 
             logits = self._forward(self.params, self.shard_pixels(ids), self.shard_pixels(mask))
             predictions.extend(np.asarray(logits).argmax(axis=1)[:current].tolist())

@@ -1021,9 +1021,14 @@ class RecognitionPredictor(BasePredictor):
             return pages, tasks
 
         # cache prompt area sized once for the whole stream: the largest
-        # prompt each seen task allows (a crop never exceeds its task's
-        # img_size budget), so later prompts always fit the live cache
+        # prompt each task allows (a crop never exceeds its task's img_size
+        # budget), so later prompts always fit the live cache. With caller-
+        # provided task_names the bound covers EVERY registered task — later
+        # groups may introduce any of them, and a leftover-routed page could
+        # not yield until the (possibly unbounded) stream ends.
         def task_bound(tasks):
+            if task_iter is not None:
+                tasks = list(self.tasks)
             bound = 0
             for t in set(tasks):
                 w, h = self.tasks[t]["img_size"]
@@ -1096,7 +1101,15 @@ class RecognitionPredictor(BasePredictor):
                 # finished), so waiting on the consumer here cannot deadlock.
                 if not block:
                     return None
-                while pushed["n"] - consumed["n"] >= max_buffer and not closed["flag"]:
+                # never wait while leftover-routed prompts exist: their pages
+                # can only complete after this loop ENDS, so the consumer may
+                # be stuck behind one — waiting on it would deadlock. The
+                # buffer bound is abandoned for such (mixed-task, should be
+                # impossible given task_bound above) streams.
+                while (
+                    pushed["n"] - consumed["n"] >= max_buffer
+                    and not closed["flag"] and not leftovers
+                ):
                     drained.wait(0.1)
                     drained.clear()
                 if closed["flag"]:

@@ -323,6 +323,11 @@ def make_server(port: int = 0, tiny: bool = False) -> ThreadingHTTPServer:
             except ValueError:
                 self._send(400, b'{"error": "bad Content-Length"}', "application/json")
                 return
+            if length < 0:
+                # rfile.read(-1) would block until the client closes the
+                # socket, pinning the handler thread
+                self._send(400, b'{"error": "bad Content-Length"}', "application/json")
+                return
             if length > self.MAX_BODY_BYTES:
                 # reject BEFORE reading: a huge declared length must not
                 # allocate unboundedly

@@ -240,18 +240,10 @@ class TableRecPredictor(BasePredictor):
                 q["polygon"] = resize_polygon(q["polygon"], im.size, (BOX_DIM, BOX_DIM))
 
             pixels = np.stack([self.prepare_image(im) for im in batch_images])
-            # bucket rows to the next power of two (<= batch_size): a partial
-            # final batch must not pay the full batch's Swin encode + AR
-            # row/col pass; at most log2(bs) compiled programs
-            rows = 1
-            while rows < min(current, batch_size):
-                rows *= 2
-            rows = self.round_batch(rows)
-            pixels = self.pad_to_batch_size(pixels, max(rows, current))
+            rows = self.bucket_rows(current, batch_size)
+            pixels = self.pad_to_batch_size(pixels, rows)
             # grayscale crops ship one channel (see encode above)
-            one = pixels[..., :1]
-            if np.array_equal(np.broadcast_to(one, pixels.shape), pixels):
-                pixels = np.ascontiguousarray(one)
+            pixels = self.gray_ship(pixels)
             enc_dev = self._encode(self.params, self.shard_pixels(pixels))
 
             vectors = self._build_query_vectors(batch_query_items)
