@@ -195,3 +195,47 @@ def test_note_execution_failure_gating(tmp_path, monkeypatch):
         RuntimeError("Execution supplied 83 buffers but compiled program expected 86")
     )
     assert wipes == [1, 1]
+
+
+def test_bucket_rows_and_gray_ship():
+    """BasePredictor.bucket_rows: power-of-two buckets <= batch_size, mesh-
+    aligned, never below `current`. gray_ship: R==G==B batches drop to one
+    channel; color batches pass through untouched (strided gate)."""
+    import numpy as np
+
+    from surya_tpu.common.predictor import BasePredictor
+
+    p = BasePredictor.__new__(BasePredictor)  # no model load
+    p.mesh = None
+    assert p.bucket_rows(1, 16) == 1
+    assert p.bucket_rows(3, 16) == 4
+    assert p.bucket_rows(8, 16) == 8
+    assert p.bucket_rows(9, 16) == 16
+    assert p.bucket_rows(16, 16) == 16
+    # current beyond batch_size must still fit (exact rows)
+    assert p.bucket_rows(20, 16) == 20
+
+    class FakeMesh:
+        shape = {"data": 4}
+
+    p.mesh = FakeMesh()
+    from surya_tpu.settings import settings
+
+    old = settings.MESH_DATA_AXIS
+    settings.MESH_DATA_AXIS = "data"
+    try:
+        assert p.bucket_rows(3, 16) % 4 == 0
+    finally:
+        settings.MESH_DATA_AXIS = old
+
+    gray = np.full((2, 40, 40, 3), 7, np.uint8)
+    out = BasePredictor.gray_ship(gray)
+    assert out.shape == (2, 40, 40, 1) and (out[..., 0] == 7).all()
+
+    color = gray.copy()
+    color[1, 33, 33, 2] = 9  # differs OFF the strided sample grid
+    out = BasePredictor.gray_ship(color)
+    assert out.shape == (2, 40, 40, 3)  # full compare catches it
+
+    already_one = np.zeros((2, 40, 40, 1), np.uint8)
+    assert BasePredictor.gray_ship(already_one) is already_one
