@@ -21,10 +21,38 @@ from surya_tpu.settings import settings
 
 logger = get_logger()
 
+# hosts whose DNS resolution failed recently: a second predictor constructed
+# moments later must not re-pay the 3-attempt retry ladder (~3-5s each) for a
+# host the OS already cannot resolve. TTL'd so a fixed resolver is picked up.
+_DNS_DEAD: dict = {}
+_DNS_DEAD_TTL_S = 60.0
+
+
+def _host_of(url: str) -> str:
+    from urllib.parse import urlparse
+
+    return urlparse(url).netloc
+
+
+def _dns_recently_dead(url: str) -> bool:
+    t = _DNS_DEAD.get(_host_of(url))
+    return t is not None and (time.time() - t) < _DNS_DEAD_TTL_S
+
+
+def _note_dns_failure(url: str, err: Exception) -> bool:
+    """Record (and report) a name-resolution failure; other errors pass."""
+    msg = str(err)
+    if "NameResolutionError" in msg or "Name or service not known" in msg or "getaddrinfo" in msg:
+        _DNS_DEAD[_host_of(url)] = time.time()
+        return True
+    return False
+
 
 def _download_file(url: str, dest: Path, retries: int = 3, backoff: float = 2.0):
     import requests
 
+    if _dns_recently_dead(url):
+        raise ConnectionError(f"host {_host_of(url)} failed DNS resolution <{_DNS_DEAD_TTL_S:.0f}s ago")
     for attempt in range(retries):
         try:
             with requests.get(url, stream=True, timeout=60) as r:
@@ -36,7 +64,9 @@ def _download_file(url: str, dest: Path, retries: int = 3, backoff: float = 2.0)
                 tmp.rename(dest)
                 return
         except Exception as e:
-            if attempt == retries - 1:
+            if _note_dns_failure(url, e) or attempt == retries - 1:
+                # DNS failures don't heal between retry attempts — fail fast
+                # and remember the dead host for subsequent loads
                 raise
             logger.warning("download %s failed (%s), retrying", url, e)
             time.sleep(backoff**attempt)
