@@ -166,27 +166,30 @@ def measure():
     def budget_left():
         return child_alarm - (time.time() - t_start)
 
-    from surya_tpu.common import profiling
-    from surya_tpu.detection import DetectionPredictor
-    from surya_tpu.models import efficientvit
-    from surya_tpu.recognition import RecognitionPredictor
-    from surya_tpu.recognition.tokenizer import TaskNames
-    from surya_tpu.settings import settings
-
-    if os.environ.get("SURYA_WIPE_COMPILATION_CACHE", "").lower() in ("1", "true"):
-        from surya_tpu.common.runtime import invalidate_compilation_cache
-
-        invalidate_compilation_cache()
-
     # settings.DEVICE falls back to "cpu" as a last resort so library users
     # stay alive — but a CPU-throughput number here would be a plausible-
-    # looking bogus datapoint, not a TPU benchmark. Fail parseably instead.
+    # looking bogus datapoint, not a TPU benchmark. Fail parseably instead —
+    # and BEFORE the predictor-module imports, which cost ~20s on a 1-vCPU
+    # box for nothing in this failure path.
+    from surya_tpu.settings import settings
+
     if settings.DEVICE != "tpu":
         emit_failure(
             f"backend resolved to {settings.DEVICE!r} after the probe succeeded "
             "(tunnel wedged between probe and in-process init)"
         )
         return
+
+    from surya_tpu.common import profiling
+    from surya_tpu.detection import DetectionPredictor
+    from surya_tpu.models import efficientvit
+    from surya_tpu.recognition import RecognitionPredictor
+    from surya_tpu.recognition.tokenizer import TaskNames
+
+    if os.environ.get("SURYA_WIPE_COMPILATION_CACHE", "").lower() in ("1", "true"):
+        from surya_tpu.common.runtime import invalidate_compilation_cache
+
+        invalidate_compilation_cache()
 
     # round artifact for "retry real-checkpoint validation every round": if
     # the weight host ever resolves, run surya_validate and record scores;

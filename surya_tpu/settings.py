@@ -202,6 +202,11 @@ class Settings(BaseModel):
                     clear_backends()
                 except Exception:
                     pass
+                if "not in the list of known backends" in str(e):
+                    # a configuration error (JAX_PLATFORMS names a platform
+                    # whose plugin declined to register), not a transient
+                    # tunnel blip — retrying with backoff cannot help
+                    break
                 if attempt + 1 < self.BACKEND_INIT_RETRIES:
                     time.sleep(self.BACKEND_INIT_BACKOFF_S * (attempt + 1))
         from surya_tpu.logging import get_logger
