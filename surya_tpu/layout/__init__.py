@@ -108,13 +108,22 @@ class LayoutPredictor(BasePredictor):
         slicer = ImageSlicer(settings.LAYOUT_SLICE_MIN, settings.LAYOUT_SLICE_SIZE)
         img_counts = [slicer.slice_count(image) for image in images]
 
+        # pipeline sub-batches: cap tiles per dispatch so a multi-page call
+        # becomes >=2 dispatches and host prepare/H2D of batch k+1 overlap
+        # device compute of batch k (the bucket ladder still spans batch_size
+        # so shapes stay shared)
+        pipe_cap = settings.LAYOUT_PIPELINE_BATCH
+        if pipe_cap is None:
+            pipe_cap = 8 if settings.DEVICE == "tpu" else batch_size
+        eff_batch = min(batch_size, max(1, pipe_cap))
+
         # pack page indices into batches by tile count (reference :52-67)
         batches = []
         start_idx, end_idx = 0, 1
         while end_idx < len(img_counts):
             if (
-                sum(img_counts[start_idx:end_idx]) >= batch_size
-                or sum(img_counts[start_idx : end_idx + 1]) > batch_size
+                sum(img_counts[start_idx:end_idx]) >= eff_batch
+                or sum(img_counts[start_idx : end_idx + 1]) > eff_batch
             ):
                 batches.append((start_idx, end_idx))
                 start_idx = end_idx
@@ -123,6 +132,20 @@ class LayoutPredictor(BasePredictor):
             batches.append((start_idx, len(img_counts)))
 
         results = []
+
+        def finish(out_dev, current, orig_sizes, tile_positions):
+            packed = np.asarray(out_dev)[:current]
+            boxes = packed[..., :7]
+            logits = packed[..., 7:-1]
+            valid = packed[..., -1] > 0.5
+            results.extend(
+                self._assemble_batch(boxes, logits, valid, orig_sizes, tile_positions, slicer, top_k)
+            )
+
+        # ONE dispatch stays in flight: batch k's result fetch + host assembly
+        # happen only after batch k+1's prepare/H2D/dispatch are enqueued, so
+        # host work overlaps device compute (same scheme as detection)
+        inflight = None
         for start_idx, end_idx in tqdm(batches, desc="Recognizing layout", disable=self.disable_tqdm):
             batch_images = [im.convert("RGB") for im in images[start_idx:end_idx]]
             batch_images, tile_positions = slicer.slice(batch_images)
@@ -135,52 +158,56 @@ class LayoutPredictor(BasePredictor):
             # (see generate above)
             pixels = self.gray_ship(pixels)
 
-            packed = np.asarray(self._generate(self.params, self.shard_pixels(pixels)))[:current]
-            boxes = packed[..., :7]
-            logits = packed[..., 7:-1]
-            valid = packed[..., -1] > 0.5
-
-            batch_results = []
-            dec = self.config
-            for j, orig_size in enumerate(orig_sizes):
-                layout_boxes = []
-                position = 0
-                for i in range(boxes.shape[1]):
-                    if not valid[j, i]:
-                        continue
-                    token = boxes[j, i]
-                    if token[6] <= dec.special_token_count:  # drop special/Blank
-                        continue
-                    label_id = int(token[6]) - dec.special_token_count
-                    label = ID_TO_LABEL[label_id]
-                    probs = _softmax(logits[j, i])
-                    top_idx = np.argsort(probs)[::-1][:top_k]
-                    top_k_dict = {
-                        ID_TO_LABEL.get(int(t) - dec.special_token_count): float(probs[t])
-                        for t in top_idx
-                        if int(t) - dec.special_token_count > 0
-                    }
-                    poly = prediction_to_polygon(token, orig_size, dec.bbox_size, dec.skew_scaler)
-                    layout_boxes.append(
-                        LayoutBox(
-                            polygon=poly,
-                            label=label,
-                            position=position,
-                            top_k=top_k_dict,
-                            confidence=top_k_dict.get(label, 0.0),
-                        )
-                    )
-                    position += 1
-                layout_boxes = clean_boxes(layout_boxes)
-                batch_results.append(
-                    LayoutResult(bboxes=layout_boxes, image_bbox=[0, 0, orig_size[0], orig_size[1]])
-                )
-
-            assert len(batch_results) == len(tile_positions)
-            results.extend(slicer.join(batch_results, tile_positions))
+            out_dev = self._generate(self.params, self.shard_pixels(pixels))
+            if inflight is not None:
+                finish(*inflight)
+            inflight = (out_dev, current, orig_sizes, tile_positions)
+        if inflight is not None:
+            finish(*inflight)
 
         assert len(results) == len(images)
         return results
+
+    def _assemble_batch(self, boxes, logits, valid, orig_sizes, tile_positions, slicer, top_k):
+        """Host assembly of one fetched batch into LayoutResults."""
+        batch_results = []
+        dec = self.config
+        for j, orig_size in enumerate(orig_sizes):
+            layout_boxes = []
+            position = 0
+            for i in range(boxes.shape[1]):
+                if not valid[j, i]:
+                    continue
+                token = boxes[j, i]
+                if token[6] <= dec.special_token_count:  # drop special/Blank
+                    continue
+                label_id = int(token[6]) - dec.special_token_count
+                label = ID_TO_LABEL[label_id]
+                probs = _softmax(logits[j, i])
+                top_idx = np.argsort(probs)[::-1][:top_k]
+                top_k_dict = {
+                    ID_TO_LABEL.get(int(t) - dec.special_token_count): float(probs[t])
+                    for t in top_idx
+                    if int(t) - dec.special_token_count > 0
+                }
+                poly = prediction_to_polygon(token, orig_size, dec.bbox_size, dec.skew_scaler)
+                layout_boxes.append(
+                    LayoutBox(
+                        polygon=poly,
+                        label=label,
+                        position=position,
+                        top_k=top_k_dict,
+                        confidence=top_k_dict.get(label, 0.0),
+                    )
+                )
+                position += 1
+            layout_boxes = clean_boxes(layout_boxes)
+            batch_results.append(
+                LayoutResult(bboxes=layout_boxes, image_bbox=[0, 0, orig_size[0], orig_size[1]])
+            )
+
+        assert len(batch_results) == len(tile_positions)
+        return slicer.join(batch_results, tile_positions)
 
 
 def _softmax(x):

@@ -91,6 +91,8 @@ class Settings(BaseModel):
     # packing batch so a multi-page call pipelines: host prepare + H2D of
     # batch k+1 overlap device compute of batch k (one dispatch in flight)
     DETECTOR_PIPELINE_BATCH: Optional[int] = None
+    # tiles per layout dispatch (None = auto: 8 on tpu), same pipelining idea
+    LAYOUT_PIPELINE_BATCH: Optional[int] = None
 
     # Text recognition
     RECOGNITION_MODEL_CHECKPOINT: str = "s3://text_recognition/2025_05_16"
