@@ -139,7 +139,13 @@ class Settings(BaseModel):
     # while the NEXT group's detection runs in a worker thread, so each
     # stream's host/postprocess gaps are filled by the other's device work
     # (big win on dispatch-latency-bound links). 0 disables the pipeline.
-    RECOGNITION_DET_PIPELINE_PAGES: int = 4
+    # pages per detection group in the det->rec pipeline (batch __call__).
+    # 8 balances detection batch efficiency (its internal dispatch pipelining
+    # wants >= 2 full sub-batches per group) against det/rec overlap; 16-page
+    # TPU sweep: g=4 2.71, g=8 2.84, g=16 2.91 pages/s (g=16 only wins when
+    # the whole call is one group). stream() latency prefers smaller groups —
+    # it takes group_pages explicitly.
+    RECOGNITION_DET_PIPELINE_PAGES: int = 8
 
     # Layout
     LAYOUT_MODEL_CHECKPOINT: str = "s3://layout/2025_02_18"
