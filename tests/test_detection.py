@@ -51,3 +51,40 @@ def test_heatmap_boxes_synthetic():
     bbox = boxes[0].bbox
     assert bbox[0] <= 21 and bbox[2] >= 178
     assert boxes[0].confidence == 1.0
+
+
+def test_pipelined_batches_match_single_dispatch():
+    """DETECTOR_PIPELINE_BATCH=1 forces one-page dispatches with one in
+    flight; boxes must equal the unpipelined run (on CPU the cap defaults to
+    batch_size, so the TPU pipelining path is otherwise unexercised)."""
+    import numpy as np
+    from PIL import Image, ImageDraw
+
+    from surya_tpu.detection import DetectionPredictor
+    from surya_tpu.models import efficientvit
+    from surya_tpu.settings import settings
+
+    pages = []
+    for p in range(3):
+        img = Image.new("RGB", (640, 400), "white")
+        d = ImageDraw.Draw(img)
+        for i in range(2):
+            d.text((30, 40 + 120 * i), f"page {p} line {i}", fill="black", font_size=28)
+        pages.append(img)
+
+    det = DetectionPredictor(tiny=True)
+    efficientvit.install_blob_detector(det)
+    old = settings.DETECTOR_PIPELINE_BATCH
+    try:
+        settings.DETECTOR_PIPELINE_BATCH = None
+        base = det([p.copy() for p in pages])
+        settings.DETECTOR_PIPELINE_BATCH = 1
+        piped = det([p.copy() for p in pages])
+    finally:
+        settings.DETECTOR_PIPELINE_BATCH = old
+
+    assert len(base) == len(piped) == len(pages)
+    for b, q in zip(base, piped):
+        assert len(b.bboxes) == len(q.bboxes)
+        for bb, qb in zip(b.bboxes, q.bboxes):
+            assert np.allclose(bb.polygon, qb.polygon, atol=1e-4)
