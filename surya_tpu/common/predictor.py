@@ -71,6 +71,15 @@ class BasePredictor:
         d = self.mesh.shape[settings.MESH_DATA_AXIS]
         return -(-n // d) * d
 
+    def pipeline_cap(self, setting_value, batch_size: int) -> int:
+        """Rows/tiles per dispatch for pipelined predictors: the configured
+        cap, else 8 on tpu (>= 2 dispatches per typical call so host prepare
+        + H2D overlap device compute), else the full batch."""
+        cap = setting_value
+        if cap is None:
+            cap = 8 if settings.DEVICE == "tpu" else batch_size
+        return min(batch_size, max(1, cap))
+
     def bucket_rows(self, current: int, batch_size: int) -> int:
         """Row count for a (possibly partial) batch: the next power of two
         <= batch_size, mesh-aligned — a partial final batch must not pay the

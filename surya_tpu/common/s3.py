@@ -40,9 +40,12 @@ def _dns_recently_dead(url: str) -> bool:
 
 
 def _note_dns_failure(url: str, err: Exception) -> bool:
-    """Record (and report) a name-resolution failure; other errors pass."""
+    """Record (and report) a PERMANENT name-resolution failure (NXDOMAIN).
+    Transient resolver failures (EAI_AGAIN, 'Temporary failure in name
+    resolution') stay on the retry ladder — they often heal within the
+    backoff window; only does-not-exist answers are cached as dead."""
     msg = str(err)
-    if "NameResolutionError" in msg or "Name or service not known" in msg or "getaddrinfo" in msg:
+    if "Name or service not known" in msg or "nodename nor servname" in msg:
         _DNS_DEAD[_host_of(url)] = time.time()
         return True
     return False

@@ -194,10 +194,7 @@ class DetectionPredictor(BasePredictor):
         # overlap device compute of batch k (ONE dispatch stays in flight,
         # fetched only after the next one is enqueued). Worth ~2x detection
         # throughput on a tunnel-attached chip where H2D is the bottleneck.
-        pipe_cap = settings.DETECTOR_PIPELINE_BATCH
-        if pipe_cap is None:
-            pipe_cap = 8 if settings.DEVICE == "tpu" else batch_size
-        eff_batch = min(batch_size, max(1, pipe_cap))
+        eff_batch = self.pipeline_cap(settings.DETECTOR_PIPELINE_BATCH, batch_size)
 
         # pack images into batches by their split counts
         batches: List[List[int]] = []

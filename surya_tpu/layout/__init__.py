@@ -112,10 +112,7 @@ class LayoutPredictor(BasePredictor):
         # becomes >=2 dispatches and host prepare/H2D of batch k+1 overlap
         # device compute of batch k (the bucket ladder still spans batch_size
         # so shapes stay shared)
-        pipe_cap = settings.LAYOUT_PIPELINE_BATCH
-        if pipe_cap is None:
-            pipe_cap = 8 if settings.DEVICE == "tpu" else batch_size
-        eff_batch = min(batch_size, max(1, pipe_cap))
+        eff_batch = self.pipeline_cap(settings.LAYOUT_PIPELINE_BATCH, batch_size)
 
         # pack page indices into batches by tile count (reference :52-67)
         batches = []

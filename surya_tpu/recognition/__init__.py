@@ -1004,7 +1004,10 @@ class RecognitionPredictor(BasePredictor):
         bounded by the buffer — not by the input length."""
         import queue as queue_mod
 
-        G = group_pages or settings.RECOGNITION_DET_PIPELINE_PAGES or 4
+        # stream's default group stays at 4 pages: time-to-first-result
+        # scales with the group, and the batch path's throughput-tuned
+        # RECOGNITION_DET_PIPELINE_PAGES (8) must not double serving latency
+        G = group_pages or 4
         max_buffer = settings.RECOGNITION_STREAM_BUFFER_PAGES or 4 * G
         self.last_decoded_tokens = 0
 

@@ -106,7 +106,7 @@ class Settings(BaseModel):
     # device and the host scan. Makes throughput numbers invariant to what
     # the (possibly random) weights emit, so rounds are comparable.
     RECOGNITION_PIN_DECODE: bool = False
-    RECOGNITION_BATCH_SIZE: Optional[int] = None  # default 8 on cpu, 256 on tpu
+    RECOGNITION_BATCH_SIZE: Optional[int] = None  # default 8 on cpu, 128 on tpu
     # stream() backpressure: max finished-but-unconsumed pages held before
     # the feeder stops accepting new pages (None = 4x the detection group)
     RECOGNITION_STREAM_BUFFER_PAGES: Optional[int] = None
@@ -143,8 +143,8 @@ class Settings(BaseModel):
     # 8 balances detection batch efficiency (its internal dispatch pipelining
     # wants >= 2 full sub-batches per group) against det/rec overlap; 16-page
     # TPU sweep: g=4 2.71, g=8 2.84, g=16 2.91 pages/s (g=16 only wins when
-    # the whole call is one group). stream() latency prefers smaller groups —
-    # it takes group_pages explicitly.
+    # the whole call is one group). stream() ignores this throughput tuning —
+    # its default group is pinned at 4 (time-to-first-result scales with it).
     RECOGNITION_DET_PIPELINE_PAGES: int = 8
 
     # Layout
