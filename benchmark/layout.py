@@ -9,7 +9,7 @@ import time
 import click
 from tabulate import tabulate
 
-from benchmark.utils.data import load_hf_dataset
+from benchmark.utils.data import load_hf_dataset, synthetic_text_pages
 from benchmark.utils.metrics import precision_recall
 from surya_tpu.input.processing import convert_if_not_rgb
 from surya_tpu.layout import LayoutPredictor
@@ -28,10 +28,15 @@ LABEL_ALIGNMENT = {
 @click.command(help="Benchmark the layout model.")
 @click.option("--results_dir", type=str, default=os.path.join(settings.RESULT_DIR, "benchmark"))
 @click.option("--max_rows", type=int, default=100)
-def main(results_dir: str, max_rows: int):
+@click.option("--synthetic", is_flag=True, default=False, help="Use synthetic pages (no dataset download).")
+def main(results_dir: str, max_rows: int, synthetic: bool):
     layout_predictor = LayoutPredictor()
-    dataset = load_hf_dataset(settings.LAYOUT_BENCH_DATASET_NAME, max_rows)
-    images = convert_if_not_rgb(list(dataset["image"]))
+    if synthetic:
+        images, page_boxes, _ = synthetic_text_pages(max_rows)
+        rows = [{"bboxes": b, "labels": ["Text"] * len(b)} for b in page_boxes]
+    else:
+        rows = load_hf_dataset(settings.LAYOUT_BENCH_DATASET_NAME, max_rows)
+        images = convert_if_not_rgb(list(rows["image"]))
 
     layout_predictor(images[:1])  # compile
     start = time.time()
@@ -39,7 +44,7 @@ def main(results_dir: str, max_rows: int):
     surya_time = time.time() - start
 
     label_metrics = collections.defaultdict(list)
-    for pred, row in zip(predictions, dataset):
+    for pred, row in zip(predictions, rows):
         for label_name, aliases in LABEL_ALIGNMENT.items():
             ref_boxes = [b for b, lab in zip(row["bboxes"], row["labels"]) if lab == label_name]
             pred_boxes = [p.bbox for p in pred.bboxes if p.label in aliases]

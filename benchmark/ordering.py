@@ -7,7 +7,7 @@ import time
 
 import click
 
-from benchmark.utils.data import load_hf_dataset
+from benchmark.utils.data import load_hf_dataset, synthetic_text_pages
 from benchmark.utils.metrics import rank_accuracy
 from surya_tpu.common.polygon import PolygonBox
 from surya_tpu.input.processing import convert_if_not_rgb
@@ -18,10 +18,18 @@ from surya_tpu.settings import settings
 @click.command(help="Benchmark reading order (layout emission order).")
 @click.option("--results_dir", type=str, default=os.path.join(settings.RESULT_DIR, "benchmark"))
 @click.option("--max_rows", type=int, default=100)
-def main(results_dir: str, max_rows: int):
+@click.option("--synthetic", is_flag=True, default=False, help="Use synthetic pages (no dataset download).")
+def main(results_dir: str, max_rows: int, synthetic: bool):
     layout_predictor = LayoutPredictor()
-    dataset = load_hf_dataset(settings.ORDER_BENCH_DATASET_NAME, max_rows)
-    images = convert_if_not_rgb(list(dataset["image"]))
+    if synthetic:
+        # natural top-to-bottom reading order on synthetic line pages
+        images, page_boxes, _ = synthetic_text_pages(max_rows)
+        rows = [
+            {"bboxes": b, "labels": [str(i) for i in range(len(b))]} for b in page_boxes
+        ]
+    else:
+        rows = load_hf_dataset(settings.ORDER_BENCH_DATASET_NAME, max_rows)
+        images = convert_if_not_rgb(list(rows["image"]))
 
     layout_predictor(images[:1])  # compile
     start = time.time()
@@ -29,7 +37,7 @@ def main(results_dir: str, max_rows: int):
     total_time = time.time() - start
 
     accuracies = []
-    for pred, row in zip(predictions, dataset):
+    for pred, row in zip(predictions, rows):
         # match each reference box to the closest predicted box's position
         pred_positions = []
         ref_positions = []

@@ -8,7 +8,7 @@ import time
 import click
 from rapidfuzz.distance import Levenshtein
 
-from benchmark.utils.data import load_hf_dataset
+from benchmark.utils.data import load_hf_dataset, synthetic_text_pages
 from surya_tpu.input.processing import convert_if_not_rgb
 from surya_tpu.recognition import RecognitionPredictor
 from surya_tpu.recognition.tokenizer import TaskNames
@@ -24,11 +24,16 @@ def normalized_edit_distance(pred: str, ref: str) -> float:
 @click.command(help="Benchmark LaTeX OCR (texify task).")
 @click.option("--results_dir", type=str, default=os.path.join(settings.RESULT_DIR, "benchmark"))
 @click.option("--max_rows", type=int, default=128)
-def main(results_dir: str, max_rows: int):
+@click.option("--synthetic", is_flag=True, default=False, help="Use synthetic blocks (no dataset download).")
+def main(results_dir: str, max_rows: int, synthetic: bool):
     predictor = RecognitionPredictor()
-    dataset = load_hf_dataset(settings.TEXIFY_BENCHMARK_DATASET, max_rows)
-    images = convert_if_not_rgb(list(dataset["image"]))
-    references = list(dataset["text"])
+    if synthetic:
+        images, _, texts = synthetic_text_pages(max_rows, lines=3, size=(800, 260))
+        references = [" ".join(t) for t in texts]
+    else:
+        dataset = load_hf_dataset(settings.TEXIFY_BENCHMARK_DATASET, max_rows)
+        images = convert_if_not_rgb(list(dataset["image"]))
+        references = list(dataset["text"])
 
     tasks = [TaskNames.block_without_boxes] * len(images)
     bboxes = [[[0, 0, im.width, im.height]] for im in images]
