@@ -1,21 +1,59 @@
-"""Shared CLI plumbing (reference: surya/scripts/config.py:9-62)."""
+"""Shared CLI plumbing.
+
+The option surface (names, defaults, flag semantics) is the drop-in
+compatibility contract with the reference CLIs (surya/scripts/config.py:9-62);
+the implementation here is organized around a declarative option table and a
+pathlib-based input resolver instead of the reference's inline decorators.
+"""
 
 from __future__ import annotations
 
-import os
-from typing import List
+from pathlib import Path
+from typing import List, Tuple
 
 import click
 
 from surya_tpu.input.load import load_from_file, load_from_folder
 from surya_tpu.settings import settings
 
+# the shared option surface, declaratively: (args, kwargs) per option. These
+# names/defaults are the compatibility contract — scripts built against the
+# reference CLIs must run unchanged.
+_COMMON_OPTIONS = (
+    (
+        ("--output_dir",),
+        dict(
+            type=click.Path(exists=False),
+            required=False,
+            default=str(Path(settings.RESULT_DIR) / "surya"),
+            help="Directory to save output.",
+        ),
+    ),
+    (
+        ("--page_range",),
+        dict(
+            type=str,
+            default=None,
+            help="Page range, comma separated page numbers or ranges. Example: 0,5-10,20",
+        ),
+    ),
+    (("--images",), dict(is_flag=True, default=False, help="Save images of detected bboxes.")),
+    (("--debug", "-d"), dict(is_flag=True, default=False, help="Enable debug mode.")),
+)
+
+
+def _expand_range_part(part: str) -> List[int]:
+    lo, dash, hi = part.partition("-")
+    return list(range(int(lo), int(hi) + 1)) if dash else [int(lo)]
+
 
 class CLILoader:
+    """Resolves a CLI invocation (input path + shared options) into loaded
+    page images, optional highres copies, names, and a result directory."""
+
     def __init__(self, filepath: str, cli_options: dict, highres: bool = False):
-        self.page_range = cli_options.get("page_range")
-        if self.page_range:
-            self.page_range = self.parse_range_str(self.page_range)
+        raw_range = cli_options.get("page_range")
+        self.page_range = self.parse_range_str(raw_range) if raw_range else raw_range
         self.filepath = filepath
         self.config = cli_options
         self.save_images = cli_options.get("images", False)
@@ -25,50 +63,28 @@ class CLILoader:
 
     @staticmethod
     def common_options(fn):
-        fn = click.argument("input_path", type=click.Path(exists=True), required=True)(fn)
-        fn = click.option(
-            "--output_dir",
-            type=click.Path(exists=False),
-            required=False,
-            default=os.path.join(settings.RESULT_DIR, "surya"),
-            help="Directory to save output.",
-        )(fn)
-        fn = click.option(
-            "--page_range",
-            type=str,
-            default=None,
-            help="Page range, comma separated page numbers or ranges. Example: 0,5-10,20",
-        )(fn)
-        fn = click.option("--images", is_flag=True, help="Save images of detected bboxes.", default=False)(fn)
-        fn = click.option("--debug", "-d", is_flag=True, help="Enable debug mode.", default=False)(fn)
-        return fn
+        for args, kwargs in reversed(_COMMON_OPTIONS):
+            fn = click.option(*args, **kwargs)(fn)
+        return click.argument("input_path", type=click.Path(exists=True), required=True)(fn)
+
+    def _read(self, highres_dpi=None) -> Tuple[list, list]:
+        src = Path(self.filepath)
+        reader = load_from_folder if src.is_dir() else load_from_file
+        if highres_dpi is None:
+            return reader(self.filepath, self.page_range)
+        return reader(self.filepath, self.page_range, highres_dpi)
 
     def load(self, highres: bool = False):
-        highres_images = None
-        if os.path.isdir(self.filepath):
-            images, names = load_from_folder(self.filepath, self.page_range)
-            folder_name = os.path.basename(self.filepath)
-            if highres:
-                highres_images, _ = load_from_folder(self.filepath, self.page_range, settings.IMAGE_DPI_HIGHRES)
-        else:
-            images, names = load_from_file(self.filepath, self.page_range)
-            folder_name = os.path.basename(self.filepath).split(".")[0]
-            if highres:
-                highres_images, _ = load_from_file(self.filepath, self.page_range, settings.IMAGE_DPI_HIGHRES)
-
-        self.images = images
-        self.highres_images = highres_images
-        self.names = names
-        self.result_path = os.path.abspath(os.path.join(self.output_dir, folder_name))
-        os.makedirs(self.result_path, exist_ok=True)
+        src = Path(self.filepath)
+        self.images, self.names = self._read()
+        self.highres_images = (
+            self._read(settings.IMAGE_DPI_HIGHRES)[0] if highres else None
+        )
+        run_name = src.name if src.is_dir() else src.name.split(".")[0]
+        self.result_path = str((Path(self.output_dir) / run_name).absolute())
+        Path(self.result_path).mkdir(parents=True, exist_ok=True)
 
     @staticmethod
     def parse_range_str(range_str: str) -> List[int]:
-        pages: List[int] = []
-        for part in range_str.split(","):
-            if "-" in part:
-                start, end = part.split("-")
-                pages += list(range(int(start), int(end) + 1))
-            else:
-                pages.append(int(part))
+        pages = [p for part in range_str.split(",") for p in _expand_range_part(part)]
         return sorted(set(pages))
