@@ -88,3 +88,30 @@ class CLILoader:
     def parse_range_str(range_str: str) -> List[int]:
         pages = [p for part in range_str.split(",") for p in _expand_range_part(part)]
         return sorted(set(pages))
+
+
+def write_results_json(result_path: str, names, predictions, exclude=None) -> str:
+    """Group per-image predictions into the reference CLIs' results.json
+    layout: {input_name: [prediction + 1-based "page", ...]}."""
+    import json
+    from collections import defaultdict
+
+    by_name: dict = defaultdict(list)
+    for name, pred in zip(names, predictions):
+        row = pred.model_dump(exclude=exclude)
+        row["page"] = len(by_name[name]) + 1
+        by_name[name].append(row)
+    out = Path(result_path) / "results.json"
+    out.write_text(json.dumps(by_name, ensure_ascii=False), encoding="utf-8")
+    return str(out)
+
+
+def save_page_artifacts(loader, predictions, render) -> None:
+    """Render one debug artifact per page when --images was passed.
+    `render(image, pred) -> (suffix, PIL image or None) pairs`."""
+    if not loader.save_images:
+        return
+    for idx, (image, pred, name) in enumerate(zip(loader.images, predictions, loader.names)):
+        for suffix, artifact in render(image, pred):
+            if artifact is not None:
+                artifact.save(str(Path(loader.result_path) / f"{name}_{idx}_{suffix}.png"))

@@ -1,17 +1,16 @@
-"""surya_layout CLI (reference: surya/scripts/detect_layout.py)."""
+"""surya_layout CLI. Flags and the results.json layout are the drop-in
+contract with the reference CLI (surya/scripts/detect_layout.py); the body is
+built on this package's shared artifact/result helpers."""
 
 import copy
-import json
-import os
 import time
-from collections import defaultdict
 
 import click
 
 from surya_tpu.debug.draw import draw_polys_on_image
 from surya_tpu.layout import LayoutPredictor
 from surya_tpu.logging import get_logger
-from surya_tpu.scripts.config import CLILoader
+from surya_tpu.scripts.config import CLILoader, save_page_artifacts, write_results_json
 
 logger = get_logger()
 
@@ -20,28 +19,19 @@ logger = get_logger()
 @CLILoader.common_options
 def detect_layout_cli(input_path: str, **kwargs):
     loader = CLILoader(input_path, kwargs)
-    layout_predictor = LayoutPredictor()
 
     start = time.time()
-    layout_predictions = layout_predictor(loader.images)
+    predictions = LayoutPredictor()(loader.images)
     if loader.debug:
         logger.debug("Layout took %.2f seconds", time.time() - start)
 
-    if loader.save_images:
-        for idx, (image, layout_pred, name) in enumerate(zip(loader.images, layout_predictions, loader.names)):
-            polygons = [p.polygon for p in layout_pred.bboxes]
-            labels = [f"{p.label}-{p.position}" for p in layout_pred.bboxes]
-            bbox_image = draw_polys_on_image(polygons, copy.deepcopy(image), labels=labels)
-            bbox_image.save(os.path.join(loader.result_path, f"{name}_{idx}_layout.png"))
+    def render(image, pred):
+        polys = [p.polygon for p in pred.bboxes]
+        labels = [f"{p.label}-{p.position}" for p in pred.bboxes]
+        yield "layout", draw_polys_on_image(polys, copy.deepcopy(image), labels=labels)
 
-    predictions_by_page = defaultdict(list)
-    for pred, name in zip(layout_predictions, loader.names):
-        out_pred = pred.model_dump()
-        out_pred["page"] = len(predictions_by_page[name]) + 1
-        predictions_by_page[name].append(out_pred)
-
-    with open(os.path.join(loader.result_path, "results.json"), "w+", encoding="utf-8") as f:
-        json.dump(predictions_by_page, f, ensure_ascii=False)
+    save_page_artifacts(loader, predictions, render)
+    write_results_json(loader.result_path, loader.names, predictions)
     logger.info("Wrote results to %s", loader.result_path)
 
 
