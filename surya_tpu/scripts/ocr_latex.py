@@ -1,9 +1,9 @@
-"""surya_latex_ocr CLI (reference: surya/scripts/ocr_latex.py)."""
+"""surya_latex_ocr CLI. Flags and the results.json layout are the drop-in
+contract with the reference CLI (surya/scripts/ocr_latex.py)."""
 
 import json
-import os
 import time
-from collections import defaultdict
+from pathlib import Path
 
 import click
 
@@ -20,22 +20,24 @@ logger = get_logger()
 def ocr_latex_cli(input_path: str, **kwargs):
     loader = CLILoader(input_path, kwargs, highres=True)
 
-    texify_predictor = RecognitionPredictor()
-    tasks = [TaskNames.block_without_boxes] * len(loader.images)
-    bboxes = [[[0, 0, image.width, image.height]] for image in loader.images]
-
     start = time.time()
-    predictions_by_image = texify_predictor(loader.images, tasks, bboxes=bboxes)
-    latex_predictions = [p.text_lines[0].text for p in predictions_by_image]
+    results = RecognitionPredictor()(
+        loader.images,
+        [TaskNames.block_without_boxes] * len(loader.images),
+        bboxes=[[[0, 0, im.width, im.height]] for im in loader.images],
+    )
     if loader.debug:
         logger.debug("LaTeX OCR took %.2f seconds", time.time() - start)
 
-    out_preds = defaultdict(list)
-    for name, pred in zip(loader.names, latex_predictions):
-        out_preds[name].append({"equation": pred, "page": len(out_preds[name]) + 1})
-
-    with open(os.path.join(loader.result_path, "results.json"), "w+", encoding="utf-8") as f:
-        json.dump(out_preds, f, ensure_ascii=False)
+    # one whole-image equation per page, grouped by input name with 1-based
+    # page numbers (the shared write_results_json handles schema objects;
+    # this output is plain strings, so it is assembled directly)
+    grouped: dict = {}
+    for name, pred in zip(loader.names, results):
+        rows = grouped.setdefault(name, [])
+        rows.append({"equation": pred.text_lines[0].text, "page": len(rows) + 1})
+    out = Path(loader.result_path) / "results.json"
+    out.write_text(json.dumps(grouped, ensure_ascii=False), encoding="utf-8")
     logger.info("Wrote results to %s", loader.result_path)
 
 
