@@ -79,3 +79,47 @@ def test_streamlit_app_helpers():
         classify_pdf_text_quality(["good", "bad", "bad"])
         == "This PDF may have garbled or bad OCR text."
     )
+
+
+def test_detect_layout_cli(image_folder, tmp_path, monkeypatch):
+    import surya_tpu.scripts.detect_layout as dl
+    from surya_tpu.layout import LayoutPredictor
+    from surya_tpu.scripts.detect_layout import detect_layout_cli
+
+    monkeypatch.setattr(dl, "LayoutPredictor", lambda *a, **k: LayoutPredictor(tiny=True))
+
+    out_dir = tmp_path / "results"
+    result = CliRunner().invoke(
+        detect_layout_cli,
+        [str(image_folder), "--output_dir", str(out_dir), "--images"],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    data = json.loads((out_dir / "pages" / "results.json").read_text())
+    assert set(data.keys()) == {"page_0", "page_1"}
+    assert data["page_0"][0]["page"] == 1
+    assert "bboxes" in data["page_0"][0]
+    # --images wrote one layout artifact per page
+    pngs = [p for p in (out_dir / "pages").iterdir() if p.suffix == ".png"]
+    assert len(pngs) == 2
+
+
+def test_ocr_latex_cli(image_folder, tmp_path, monkeypatch):
+    import surya_tpu.scripts.ocr_latex as ol
+    from surya_tpu.recognition import RecognitionPredictor
+    from surya_tpu.scripts.ocr_latex import ocr_latex_cli
+    from surya_tpu.settings import settings
+
+    monkeypatch.setattr(ol, "RecognitionPredictor", lambda *a, **k: RecognitionPredictor(tiny=True))
+    monkeypatch.setattr(settings, "RECOGNITION_MAX_TOKENS", 4)
+
+    out_dir = tmp_path / "results"
+    result = CliRunner().invoke(
+        ocr_latex_cli, [str(image_folder), "--output_dir", str(out_dir)], catch_exceptions=False
+    )
+    assert result.exit_code == 0, result.output
+    data = json.loads((out_dir / "pages" / "results.json").read_text())
+    assert set(data.keys()) == {"page_0", "page_1"}
+    row = data["page_0"][0]
+    assert set(row.keys()) == {"equation", "page"} and row["page"] == 1
+    assert isinstance(row["equation"], str)
