@@ -123,3 +123,31 @@ def test_ocr_latex_cli(image_folder, tmp_path, monkeypatch):
     row = data["page_0"][0]
     assert set(row.keys()) == {"equation", "page"} and row["page"] == 1
     assert isinstance(row["equation"], str)
+
+
+def test_ocr_text_cli(image_folder, tmp_path, monkeypatch):
+    import surya_tpu.scripts.ocr_text as ot
+    from surya_tpu.detection import DetectionPredictor
+    from surya_tpu.models import efficientvit
+    from surya_tpu.recognition import RecognitionPredictor
+    from surya_tpu.scripts.ocr_text import ocr_text_cli
+    from surya_tpu.settings import settings
+
+    def tiny_det(*a, **k):
+        det = DetectionPredictor(tiny=True)
+        efficientvit.install_blob_detector(det)
+        return det
+
+    monkeypatch.setattr(ot, "DetectionPredictor", tiny_det)
+    monkeypatch.setattr(ot, "RecognitionPredictor", lambda *a, **k: RecognitionPredictor(tiny=True))
+    monkeypatch.setattr(settings, "RECOGNITION_MAX_TOKENS", 4)
+
+    out_dir = tmp_path / "results"
+    result = CliRunner().invoke(
+        ocr_text_cli, [str(image_folder), "--output_dir", str(out_dir)], catch_exceptions=False
+    )
+    assert result.exit_code == 0, result.output
+    data = json.loads((out_dir / "pages" / "results.json").read_text())
+    assert set(data.keys()) == {"page_0", "page_1"}
+    assert "text_lines" in data["page_0"][0]
+    assert data["page_0"][0]["page"] == 1
