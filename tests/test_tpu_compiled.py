@@ -179,7 +179,7 @@ heat = np.zeros((2, 448, 224), np.float32)
 for p in range(2):
     for i in range(40):
         heat[p, 5 + i*11 : 9 + i*11, 10:200] = 0.9
-heat[1, 100:104, 10:200] = 0.0  # page variation
+heat[1, 104:108, 10:200] = 0.0  # page variation: erase bar i=9 (rows 104:108)
 stats, n, n_raw = jax.jit(lambda h: cc.component_stats(h, 0.3, max_comps=512))(jnp.asarray(heat))
 stats, n = np.asarray(stats), np.asarray(n)
 assert (np.asarray(n_raw) == n).all()
