@@ -151,3 +151,31 @@ def test_ocr_text_cli(image_folder, tmp_path, monkeypatch):
     assert set(data.keys()) == {"page_0", "page_1"}
     assert "text_lines" in data["page_0"][0]
     assert data["page_0"][0]["page"] == 1
+
+
+def test_table_recognition_cli(image_folder, tmp_path, monkeypatch):
+    import surya_tpu.scripts.table_recognition as tr_mod
+    from surya_tpu.layout import LayoutPredictor
+    from surya_tpu.scripts.table_recognition import table_recognition_cli
+    from surya_tpu.table_rec import TableRecPredictor, install_synthetic_tables
+
+    def tiny_table(*a, **k):
+        tr = TableRecPredictor(tiny=True)
+        install_synthetic_tables(tr, n_rows=2, n_cols=2, n_cells=1)
+        return tr
+
+    monkeypatch.setattr(tr_mod, "LayoutPredictor", lambda *a, **k: LayoutPredictor(tiny=True))
+    monkeypatch.setattr(tr_mod, "TableRecPredictor", tiny_table)
+
+    out_dir = tmp_path / "results"
+    result = CliRunner().invoke(
+        table_recognition_cli,
+        [str(image_folder), "--output_dir", str(out_dir), "--skip_table_detection"],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    data = json.loads((out_dir / "pages" / "results.json").read_text())
+    assert set(data.keys()) == {"page_0", "page_1"}
+    table = data["page_0"][0]
+    assert "rows" in table and "cols" in table and "cells" in table
+    assert len(table["rows"]) == 2 and len(table["cols"]) == 2
