@@ -349,6 +349,10 @@ def measure():
             detect_split_fetch_wall_s=stage_of(det_prof, "detection.device_get")[0],
             detect_split_prepare_wall_s=stage_of(det_prof, "detection.prepare")[0],
             detect_split_post_wall_s=stage_of(det_prof, "detection.postprocess_wait")[0],
+            # direct path evidence (r4 weak #2): component-stats batches vs
+            # full-map fetches across the whole bench run so far
+            detect_stats_batches=getattr(det, "stats_batches", None),
+            detect_maps_batches=getattr(det, "maps_batches", None),
         )
     except Exception as e:
         print(f"# det split failed: {e}", file=sys.stderr, flush=True)

@@ -62,6 +62,11 @@ class DetectionPredictor(BasePredictor):
         # must not downgrade the predictor for the process lifetime)
         self._stats_skip = 0
         self._stats_backoff = None  # doubles per consecutive failure; None = base
+        # observability: which postprocess path each batch took (the bench
+        # records these so "the on-device stats path was measured" is
+        # auditable from the artifact, not inferred from fetch walls)
+        self.stats_batches = 0
+        self.maps_batches = 0
         self.setup_mesh()  # dp: pixel batches shard over the data axis
 
         # _apply_heat is the patchable graph tail (benches hook it): float
@@ -269,6 +274,7 @@ class DetectionPredictor(BasePredictor):
                 except Exception as e:  # backend/exec failure: host path still works
                     self._note_stats_failure(e)
                 if stats_ok:
+                    self.stats_batches += 1
                     pages = []
                     for idx in range(rec["n_pages"]):
                         heights = [h for i, h in zip(rec["split_index"], rec["split_heights"]) if i == idx]
@@ -283,9 +289,11 @@ class DetectionPredictor(BasePredictor):
                         )
                     return pages, sizes_out
                 out, n_maps = dispatch_maps(rec)
+                self.maps_batches += 1
                 with stage("detection.device_get"):
                     compact = np.asarray(jax.device_get(out[: rec["n_real"], :, :, :n_maps]))
                 return stitch_maps(rec, compact, n_maps), sizes_out
+            self.maps_batches += 1
             with stage("detection.device_get"):
                 compact = np.asarray(jax.device_get(rec["out"][: rec["n_real"], :, :, : rec["n_maps"]]))
             return stitch_maps(rec, compact, rec["n_maps"]), sizes_out
