@@ -90,15 +90,18 @@ class CLILoader:
         return sorted(set(pages))
 
 
-def write_results_json(result_path: str, names, predictions, exclude=None) -> str:
+def write_results_json(result_path: str, names, predictions, exclude=None, to_row=None) -> str:
     """Group per-image predictions into the reference CLIs' results.json
-    layout: {input_name: [prediction + 1-based "page", ...]}."""
+    layout: {input_name: [prediction + 1-based "page", ...]}. `to_row` maps
+    a prediction to its dict row (default: pydantic model_dump)."""
     import json
     from collections import defaultdict
 
+    if to_row is None:
+        to_row = lambda pred: pred.model_dump(exclude=exclude)  # noqa: E731
     by_name: dict = defaultdict(list)
     for name, pred in zip(names, predictions):
-        row = pred.model_dump(exclude=exclude)
+        row = to_row(pred)
         row["page"] = len(by_name[name]) + 1
         by_name[name].append(row)
     out = Path(result_path) / "results.json"

