@@ -105,3 +105,23 @@ def test_malformed_request_answers_500(server):
     status, out = _post(server, "detect", {"file_b64": "!!!not-base64!!!"})
     assert status == 500
     assert "error" in out
+
+
+def test_bad_content_length_rejected(server):
+    """Negative or non-numeric Content-Length must 400 BEFORE any body read
+    (a -1 length would otherwise pin the handler thread in read(-1)), and an
+    oversized declared length must 413 without allocating."""
+    import http.client
+
+    host, port = server.server_address[:2]
+    for value, expect in (("-1", 400), ("nonsense", 400), (str(200 * 1024 * 1024), 413)):
+        conn = http.client.HTTPConnection(host, port, timeout=10)
+        try:
+            conn.putrequest("POST", "/api/detect")
+            conn.putheader("Content-Type", "application/json")
+            conn.putheader("Content-Length", value)
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status == expect, (value, resp.status)
+        finally:
+            conn.close()
