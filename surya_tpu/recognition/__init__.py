@@ -730,6 +730,27 @@ class RecognitionPredictor(BasePredictor):
                     build_wave, min(len(frees), self.prefill_row_buckets[-1])
                 )
             elif any(slot_prompt[s] is not None and host_active[s] for s in range(n_slots)):
+                # if the IN-FLIGHT dispatch's outputs are guaranteed to
+                # exhaust every active slot's token budget, drain first: the
+                # speculative next chunk would decode K tokens the budget
+                # scan discards wholesale — one wasted dispatch per final
+                # wave (and ~20% of single-page latency)
+                if inflight is not None:
+                    kind = inflight[0]
+                    k_pending = (
+                        self.decode_chunk if kind == "decode"
+                        # fused prefill carries token 0 + a decode chunk;
+                        # plain prefill only token 0
+                        else 1 + (self.decode_chunk if inflight[2] is not None else 0)
+                    )
+                    if all(
+                        len(predicted_tokens[slot_prompt[s]]) + k_pending
+                        >= max_tokens[slot_prompt[s]]
+                        for s in range(n_slots)
+                        if slot_prompt[s] is not None and host_active[s]
+                    ):
+                        drain_inflight()
+                        continue
                 # -- decode chunk: K tokens fully on device; dispatch chunk
                 # N+1 BEFORE fetching chunk N's outputs --
                 with stage("recognition.decode"):
