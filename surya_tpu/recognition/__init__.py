@@ -736,15 +736,19 @@ class RecognitionPredictor(BasePredictor):
                 # scan discards wholesale — one wasted dispatch per final
                 # wave (and ~20% of single-page latency)
                 if inflight is not None:
-                    kind = inflight[0]
-                    k_pending = (
-                        self.decode_chunk if kind == "decode"
-                        # fused prefill carries token 0 + a decode chunk;
-                        # plain prefill only token 0
-                        else 1 + (self.decode_chunk if inflight[2] is not None else 0)
-                    )
+                    if inflight[0] == "decode":
+                        pending_for = lambda s: self.decode_chunk  # noqa: E731
+                    else:
+                        # a prefill wave delivers token 0 (+ a decode chunk
+                        # when fused) to its NEW slots only; pre-existing
+                        # slots get the fused chunk's tokens or nothing
+                        new_slots = set(inflight[3])
+                        fused_k = self.decode_chunk if inflight[2] is not None else 0
+                        pending_for = (  # noqa: E731
+                            lambda s: (1 + fused_k) if s in new_slots else fused_k
+                        )
                     if all(
-                        len(predicted_tokens[slot_prompt[s]]) + k_pending
+                        len(predicted_tokens[slot_prompt[s]]) + pending_for(s)
                         >= max_tokens[slot_prompt[s]]
                         for s in range(n_slots)
                         if slot_prompt[s] is not None and host_active[s]
